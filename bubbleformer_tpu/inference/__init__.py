@@ -1,0 +1,7 @@
+from bubbleformer_tpu.inference.rollout import (
+    denormalize,
+    make_rollout_fn,
+    rollout_targets,
+)
+
+__all__ = ["denormalize", "make_rollout_fn", "rollout_targets"]

@@ -1,0 +1,184 @@
+"""Temporal and axial-spatial attention blocks (channels-last).
+
+TPU-native counterparts of the reference blocks
+(``bubbleformer/layers/attention.py:10-124`` temporal, ``:127-319`` axial):
+
+* Activations are ``(..., H, W, C)`` so the 1x1-conv QKV/output heads become
+  Dense matmuls on the MXU and InstanceNorm reduces over the two axes before
+  the channel axis.
+* The attn_scale low/high-frequency decomposition is computed in the
+  algebraically fused form (see ``ops/attention.py``), never materializing
+  the uniform-minus-softmax split.
+* Drop-path rates are traced values so a stack of blocks compiles to a single
+  ``lax.scan`` body (see ``models/axial_vit.py``).
+
+Parameter layout intentionally differs from the torch reference (Dense
+kernels instead of 1x1 Conv2d weights; per-head interleaving is handled by a
+reshape) — semantics are equivalent, checkpoints are not interchangeable.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bubbleformer_tpu.layers.linear import GeluMLP
+from bubbleformer_tpu.layers.norm import InstanceNorm
+from bubbleformer_tpu.layers.positional import make_bias_module
+from bubbleformer_tpu.layers.stochastic import drop_path
+from bubbleformer_tpu.ops.attention import scaled_axial_attention
+
+
+class TemporalAttentionBlock(nn.Module):
+    """Self-attention over the time axis at every spatial token.
+
+    Input/output: ``(B, T, H, W, C)``.  Matches reference ``AttentionBlock``:
+    InstanceNorm pre/post-norm, per-head LayerNorm on q and k, T5 relative
+    position bias over T, learned per-head high-frequency attention scaling,
+    LayerScale gamma and DropPath on the residual branch.
+    """
+
+    embed_dim: int = 768
+    num_heads: int = 12
+    layer_scale_init_value: float = 1e-6
+    bias_type: str = "rel"
+    attn_scale: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        drop_path_rate: jax.Array | float = 0.0,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        b, t, h, w, c = x.shape
+        heads = self.num_heads
+        d = c // heads
+        inp = x
+
+        x = InstanceNorm(self.embed_dim, name="norm1")(x)
+        qkv = nn.Dense(3 * self.embed_dim, dtype=self.dtype, name="input_head")(x)
+        qkv = qkv.reshape(b, t, h, w, heads, 3 * d)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # (b, t, h, w, heads, d)
+        q = nn.LayerNorm(epsilon=1e-5, name="qnorm")(q)
+        k = nn.LayerNorm(epsilon=1e-5, name="knorm")(k)
+
+        # (b, h, w, heads, t, d): attention over T with (b, h, w) batched.
+        q, k, v = (jnp.transpose(a, (0, 2, 3, 4, 1, 5)) for a in (q, k, v))
+
+        bias_mod = make_bias_module(self.bias_type, heads)
+        bias = bias_mod(t, t) if bias_mod is not None else None
+        scale = (
+            self.param("attn_scale_factor", nn.initializers.ones, (heads,))
+            if self.attn_scale
+            else None
+        )
+        out = scaled_axial_attention(q, k, v, bias=bias, scale_factor=scale)
+
+        # back to (b, t, h, w, c)
+        out = jnp.transpose(out, (0, 4, 1, 2, 3, 5)).reshape(b, t, h, w, c)
+        out = InstanceNorm(self.embed_dim, name="norm2")(out)
+        out = nn.Dense(self.embed_dim, dtype=self.dtype, name="output_head")(out)
+
+        gamma = self.param(
+            "gamma",
+            nn.initializers.constant(self.layer_scale_init_value),
+            (self.embed_dim,),
+        )
+        branch = out * gamma.astype(out.dtype)
+        rng = None if deterministic else self.make_rng("droppath")
+        return drop_path(branch, drop_path_rate, rng, deterministic) + inp
+
+
+class AxialAttentionBlock(nn.Module):
+    """Row + column axial attention, averaged, followed by a GeluMLP.
+
+    Input/output: ``(B, H, W, C)`` (time already folded into batch).  Matches
+    reference ``AxialAttentionBlock``: one shared QKV projection feeds both
+    axes, one shared T5 bias table is evaluated at both lengths, separate
+    per-head attention scales per axis, per-channel low/high feature-frequency
+    rescaling, LayerScale + DropPath on both residual branches.
+    """
+
+    embed_dim: int = 768
+    num_heads: int = 12
+    layer_scale_init_value: float = 1e-6
+    bias_type: str = "rel"
+    attn_scale: bool = True
+    feat_scale: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        drop_path_rate: jax.Array | float = 0.0,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        b, h, w, c = x.shape
+        heads = self.num_heads
+        d = c // heads
+        inp = x
+
+        x = InstanceNorm(self.embed_dim, name="norm1")(x)
+        qkv = nn.Dense(3 * self.embed_dim, dtype=self.dtype, name="input_head")(x)
+        qkv = qkv.reshape(b, h, w, heads, 3 * d)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # (b, h, w, heads, d)
+        q = nn.LayerNorm(epsilon=1e-5, name="qnorm")(q)
+        k = nn.LayerNorm(epsilon=1e-5, name="knorm")(k)
+
+        bias_mod = make_bias_module(self.bias_type, heads)
+
+        # Row (x-direction) attention: sequence along W, (b, h) batched.
+        qx, kx, vx = (jnp.transpose(a, (0, 1, 3, 2, 4)) for a in (q, k, v))
+        bias_x = bias_mod(w, w) if bias_mod is not None else None
+        scale_x = (
+            self.param("attn_scale_factor_x", nn.initializers.ones, (heads,))
+            if self.attn_scale
+            else None
+        )
+        xx = scaled_axial_attention(qx, kx, vx, bias=bias_x, scale_factor=scale_x)
+        xx = jnp.transpose(xx, (0, 1, 3, 2, 4)).reshape(b, h, w, c)
+
+        # Column (y-direction) attention: sequence along H, (b, w) batched.
+        qy, ky, vy = (jnp.transpose(a, (0, 2, 3, 1, 4)) for a in (q, k, v))
+        bias_y = bias_mod(h, h) if bias_mod is not None else None
+        scale_y = (
+            self.param("attn_scale_factor_y", nn.initializers.ones, (heads,))
+            if self.attn_scale
+            else None
+        )
+        xy = scaled_axial_attention(qy, ky, vy, bias=bias_y, scale_factor=scale_y)
+        xy = jnp.transpose(xy, (0, 3, 1, 2, 4)).reshape(b, h, w, c)
+
+        x = (xx + xy) * 0.5
+        x = InstanceNorm(self.embed_dim, name="norm2")(x)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="output_head")(x)
+
+        if self.feat_scale:
+            low = self.param("low_freq_scalar", nn.initializers.zeros, (self.embed_dim,))
+            high = self.param("high_freq_scalar", nn.initializers.zeros, (self.embed_dim,))
+            x_low = jnp.mean(x, axis=(1, 2), keepdims=True)
+            x_high = x - x_low
+            x = x + x_low * low.astype(x.dtype) + x_high * high.astype(x.dtype)
+
+        gamma_att = self.param(
+            "gamma_att",
+            nn.initializers.constant(self.layer_scale_init_value),
+            (self.embed_dim,),
+        )
+        rng = None if deterministic else self.make_rng("droppath")
+        x = drop_path(x * gamma_att.astype(x.dtype), drop_path_rate, rng, deterministic) + inp
+
+        # MLP sub-block.
+        inp2 = x
+        y = GeluMLP(self.embed_dim, dtype=self.dtype, name="mlp")(x)
+        y = InstanceNorm(self.embed_dim, name="mlp_norm")(y)
+        gamma_mlp = self.param(
+            "gamma_mlp",
+            nn.initializers.constant(self.layer_scale_init_value),
+            (self.embed_dim,),
+        )
+        rng2 = None if deterministic else self.make_rng("droppath")
+        return inp2 + drop_path(gamma_mlp.astype(y.dtype) * y, drop_path_rate, rng2, deterministic)

@@ -1,0 +1,40 @@
+"""Normalization layers.
+
+The reference architecture leans on per-sample spatial InstanceNorm
+(``nn.InstanceNorm2d(C, affine=True)`` at reference
+``bubbleformer/layers/attention.py:39-40,153-154`` and
+``bubbleformer/layers/patching.py:45,102``) rather than LayerNorm.  On TPU we
+keep activations channels-last (``..., H, W, C``) so the spatial reduction is
+over the two axes preceding the channel axis; the reduction + rsqrt fuse into
+the surrounding elementwise ops under XLA.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel spatial normalization with affine params.
+
+    Matches ``torch.nn.InstanceNorm2d(features, affine=True)`` semantics
+    (biased variance, eps=1e-5, no running statistics) for channels-last
+    inputs of shape ``(..., H, W, C)``.
+    """
+
+    features: int
+    eps: float = 1e-5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # Statistics in float32 for stability regardless of activation dtype.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(-3, -2), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(x.dtype)

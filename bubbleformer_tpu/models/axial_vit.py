@@ -1,0 +1,212 @@
+"""Axial vision transformers: AViT and FiLM-conditioned AViT.
+
+TPU-native counterparts of reference ``bubbleformer/models/axial_vit.py``:
+
+* ``SpaceTimeBlock`` (reference ``:13-65``): temporal attention followed by
+  per-frame axial spatial attention.
+* ``AViT`` (reference ``:68-151``): HMLPEmbed -> N SpaceTimeBlocks (drop-path
+  linearly ramped 0 -> drop_path over blocks, reference ``:100``) -> HMLPDebed.
+* ``FiLMAViT`` (reference ``:154-242``): AViT plus FiLM modulation of the
+  post-embed features from a fluid-parameter vector.
+
+TPU-first design decisions (not a translation of the torch module list):
+
+* The processor stack is one ``nn.scan`` over a single compiled
+  ``SpaceTimeBlock`` with the per-block drop-path rates fed as the scanned
+  input.  One block body is traced/compiled once instead of N times; scanned
+  parameters carry a leading ``layers`` axis (annotated for partitioning).
+* Rematerialization (`jax.checkpoint`) per block is a first-class switch
+  (``remat=True``), replacing the reference's commented-out
+  ``torch.utils.checkpoint`` (reference ``:143``).
+* Activations are channels-last internally; the public API keeps the
+  reference's ``(B, T, C, H, W)`` layout.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from bubbleformer_tpu.layers.attention import AxialAttentionBlock, TemporalAttentionBlock
+from bubbleformer_tpu.layers.linear import FiLMMLP
+from bubbleformer_tpu.layers.patching import HMLPDebed, HMLPEmbed
+from bubbleformer_tpu.models._api import register_model
+
+__all__ = ["SpaceTimeBlock", "AViT", "FiLMAViT"]
+
+
+class SpaceTimeBlock(nn.Module):
+    """Factored spacetime block: temporal attention then axial spatial attention.
+
+    Carry layout for scanning: ``x`` is channels-last ``(B, T, H, W, C)``; the
+    scanned input is this block's drop-path rate.
+    """
+
+    embed_dim: int = 768
+    num_heads: int = 12
+    attn_scale: bool = True
+    feat_scale: bool = True
+    bias_type: str = "rel"
+    layer_scale_init_value: float = 1e-6
+    deterministic: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, drop_path_rate: jax.Array | float):
+        b, t, h, w, c = x.shape
+        x = TemporalAttentionBlock(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            attn_scale=self.attn_scale,
+            bias_type=self.bias_type,
+            layer_scale_init_value=self.layer_scale_init_value,
+            dtype=self.dtype,
+            name="temporal",
+        )(x, drop_path_rate, self.deterministic)
+
+        x = x.reshape(b * t, h, w, c)
+        x = AxialAttentionBlock(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            attn_scale=self.attn_scale,
+            feat_scale=self.feat_scale,
+            bias_type=self.bias_type,
+            layer_scale_init_value=self.layer_scale_init_value,
+            dtype=self.dtype,
+            name="spatial",
+        )(x, drop_path_rate, self.deterministic)
+        x = x.reshape(b, t, h, w, c)
+        return x, None
+
+
+def _scanned_blocks(
+    *,
+    num_blocks: int,
+    remat: bool,
+    name: str = "blocks",
+    **block_kwargs,
+):
+    """Build the scanned (optionally rematerialized) SpaceTimeBlock stack."""
+    body = SpaceTimeBlock
+    if remat:
+        body = nn.remat(body, prevent_cse=False)
+    scanned = nn.scan(
+        body,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "droppath": True},
+        in_axes=0,
+        length=num_blocks,
+        metadata_params={nn.meta.PARTITION_NAME: "layers"},
+    )
+    return scanned(name=name, **block_kwargs)
+
+
+@register_model("avit")
+class AViT(nn.Module):
+    """Axial ViT for temporal bundling: (B, T, C_in, H, W) -> (B, T, C_out, H, W).
+
+    Args mirror the reference constructor (``axial_vit.py:85-97``); ``remat``
+    and ``scan_blocks`` are TPU-build additions (both default True — flip
+    ``scan_blocks`` off to unroll the stack, e.g. for per-block inspection).
+    """
+
+    input_fields: int = 3
+    output_fields: int = 3
+    time_window: int = 12
+    patch_size: int = 16
+    embed_dim: int = 768
+    num_heads: int = 12
+    processor_blocks: int = 12
+    drop_path: float = 0.2
+    attn_scale: bool = True
+    feat_scale: bool = True
+    bias_type: str = "rel"
+    remat: bool = True
+    scan_blocks: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    def _encode(self, x: jax.Array) -> jax.Array:
+        """(B, T, C, H, W) -> channels-last patch grid (B, T, h, w, E)."""
+        b, t, c, hh, ww = x.shape
+        x = jnp.transpose(x, (0, 1, 3, 4, 2))  # (B, T, H, W, C)
+        x = x.reshape(b * t, hh, ww, c)
+        x = HMLPEmbed(
+            patch_size=self.patch_size,
+            in_channels=self.input_fields,
+            embed_dim=self.embed_dim,
+            dtype=self.dtype,
+            name="embed",
+        )(x)
+        return x.reshape(b, t, x.shape[1], x.shape[2], self.embed_dim)
+
+    def _process(self, x: jax.Array, train: bool) -> jax.Array:
+        dp_rates = jnp.asarray(
+            np.linspace(0.0, self.drop_path, self.processor_blocks), dtype=jnp.float32
+        )
+        block_kwargs = dict(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            attn_scale=self.attn_scale,
+            feat_scale=self.feat_scale,
+            bias_type=self.bias_type,
+            deterministic=not train,
+            dtype=self.dtype,
+        )
+        if self.scan_blocks:
+            x, _ = _scanned_blocks(
+                num_blocks=self.processor_blocks, remat=self.remat, **block_kwargs
+            )(x, dp_rates)
+        else:
+            for i in range(self.processor_blocks):
+                x, _ = SpaceTimeBlock(name=f"block{i}", **block_kwargs)(
+                    x, dp_rates[i]
+                )
+        return x
+
+    def _decode(self, x: jax.Array) -> jax.Array:
+        """(B, T, h, w, E) -> (B, T, C_out, H, W)."""
+        b, t = x.shape[:2]
+        x = x.reshape(b * t, x.shape[2], x.shape[3], self.embed_dim)
+        x = HMLPDebed(
+            patch_size=self.patch_size,
+            out_channels=self.output_fields,
+            embed_dim=self.embed_dim,
+            dtype=self.dtype,
+            name="debed",
+        )(x)
+        x = x.reshape(b, t, x.shape[1], x.shape[2], self.output_fields)
+        return jnp.transpose(x, (0, 1, 4, 2, 3))
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = self._encode(x)
+        x = self._process(x, train)
+        return self._decode(x)
+
+
+@register_model("filmavit")
+class FiLMAViT(AViT):
+    """AViT with FiLM conditioning of post-embed features on fluid parameters.
+
+    Reference: ``axial_vit.py:154-242`` (FiLM applied once after embedding;
+    the reference's per-block FiLM is commented out and not replicated).
+    """
+
+    num_fluid_params: int = 9
+
+    @nn.compact
+    def __call__(  # type: ignore[override]
+        self, x: jax.Array, fluid_params: jax.Array, train: bool = False
+    ) -> jax.Array:
+        x = self._encode(x)
+        x = FiLMMLP(
+            param_dim=self.num_fluid_params,
+            embed_dim=self.embed_dim,
+            dtype=self.dtype,
+            name="film_embed",
+        )(x, fluid_params)
+        x = self._process(x, train)
+        return self._decode(x)

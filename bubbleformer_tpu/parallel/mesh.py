@@ -1,0 +1,63 @@
+"""Device mesh construction and batch shardings.
+
+The reference's only distributed strategy is Lightning DDP over NCCL
+(``scripts/train.py:159-166``).  The TPU-native replacement is a
+``jax.sharding.Mesh`` with a ``data`` axis (and an optional ``model`` axis
+for tensor parallelism over attention heads / MLP width); gradient reduction
+becomes an XLA ``psum`` inserted by GSPMD — no communication library in user
+code.
+
+On multi-host TPU, call :func:`initialize_distributed` first; the mesh then
+spans all processes' devices with the ``data`` axis laid out over ICI/DCN by
+``jax.make_mesh``'s default device order.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def initialize_distributed() -> None:
+    """Multi-host bootstrap (no-op on a single process).
+
+    Replaces the reference's SLURM/Lightning process-group plumbing
+    (``train.py:14,23-33,166``): on TPU pods, ``jax.distributed.initialize``
+    discovers coordinator/topology from the runtime environment.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize()
+    except (ValueError, RuntimeError):
+        pass  # single-process (CPU / one chip): nothing to do
+
+
+def is_leader() -> bool:
+    """Leader gating for logging/checkpoint side effects."""
+    return jax.process_index() == 0
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh; ``data=-1`` uses all remaining devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data == -1:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,233 @@
+"""The training loop: jitted steps over a device mesh.
+
+Replaces the Lightning ``Trainer`` (reference ``scripts/train.py:158-172``)
+with an explicit loop around a donated, jitted train step:
+
+* batches are placed with a ``data``-axis NamedSharding; parameters live on
+  the mesh under the tensor-parallel rules of
+  :mod:`bubbleformer_tpu.parallel.sharding` (replicated when ``model=1``) —
+  gradient all-reduce is the XLA ``psum`` GSPMD inserts, not a comm library;
+* ``limit_train_batches`` / ``limit_val_batches`` match the reference's
+  epoch budgeting (``train.py:168-169``);
+* CSV metrics + optional W&B (leader-gated, like ``modules.py:103-104``);
+* SIGTERM preemption checkpointing with numbered resume paths
+  (``train.py:36-67,91-96``) via Orbax.
+"""
+from __future__ import annotations
+
+import csv
+import os
+import signal
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bubbleformer_tpu.parallel.mesh import batch_sharding, is_leader, make_mesh
+from bubbleformer_tpu.parallel.sharding import shard_params
+from bubbleformer_tpu.training.checkpoint import CheckpointManager
+from bubbleformer_tpu.training.module import ForecastModule, TrainState
+
+
+class CSVLogger:
+    """Append-only metrics CSV (replaces Lightning CSVLogger)."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.csv")
+        self._header_written = os.path.exists(self.path)
+
+    def log(self, row: Dict[str, Any]) -> None:
+        write_header = not self._header_written
+        with open(self.path, "a", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(row.keys()))
+            if write_header:
+                writer.writeheader()
+                self._header_written = True
+            writer.writerow(row)
+
+
+class Trainer:
+    """Explicit jit train/val loop with checkpointing and preemption."""
+
+    def __init__(
+        self,
+        module: ForecastModule,
+        log_dir: str = "logs",
+        mesh=None,
+        limit_train_batches: int = 1000,
+        limit_val_batches: int = 25,
+        seed: int = 42,
+        use_wandb: bool = False,
+        checkpoint_every_n_epochs: int = 1,
+        preempt_ckpt_path: Optional[str] = None,
+        async_checkpoint: bool = True,
+    ):
+        self.module = module
+        self.log_dir = log_dir
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.seed = seed
+        self.logger = CSVLogger(log_dir) if is_leader() else None
+        self.ckpt = CheckpointManager(use_async=async_checkpoint)
+        self.preempt_ckpt_path = preempt_ckpt_path or os.path.join(log_dir, "hpc_ckpt_1")
+        self._preempted = False
+
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._train_step = jax.jit(module.make_train_step(), donate_argnums=0)
+        self._eval_step = jax.jit(module.make_eval_step())
+
+        self.wandb = None
+        if use_wandb and is_leader():
+            try:
+                import wandb  # noqa: F401  (optional dependency)
+
+                self.wandb = wandb
+            except ImportError:
+                print("wandb not installed; continuing with CSV logging only")
+
+        signal.signal(signal.SIGTERM, self._handle_preemption)
+
+    # -- preemption ----------------------------------------------------------
+    def _handle_preemption(self, signum, frame):
+        # Only flag here; the step boundary performs the actual save so the
+        # checkpoint is a consistent post-update state.
+        self._preempted = True
+
+    def _save_preempt_checkpoint(self, state: TrainState) -> None:
+        self.ckpt.save(
+            self.preempt_ckpt_path, state, self.module.normalization_constants
+        )
+        self.ckpt.wait()
+        if is_leader():
+            print(f"Preemption checkpoint saved to {self.preempt_ckpt_path}")
+
+    # -- device placement ----------------------------------------------------
+    def _put_batch(self, batch) -> Tuple[jax.Array, ...]:
+        return tuple(
+            jax.device_put(np.asarray(part), self._batch_sharding) for part in batch
+        )
+
+    def init_state(self, sample_batch) -> TrainState:
+        rng = jax.random.key(self.seed)
+        state = self.module.init_state(rng, sample_batch)
+        # Place parameters under the mesh partitioning rules (replicated on a
+        # pure-data mesh) and replicate the rest of the state accordingly.
+        return state.replace(
+            params=shard_params(state.params, self.mesh),
+            opt_state=jax.device_put(state.opt_state),
+        )
+
+    def restore(self, ckpt_path: str, sample_batch) -> TrainState:
+        rng = jax.random.key(self.seed)
+        target = self.module.init_state(rng, sample_batch)
+        norm_example = self.module.normalization_constants
+        state, norm = self.ckpt.restore(ckpt_path, target, norm_example)
+        if norm is not None:
+            self.module.normalization_constants = norm
+        return state
+
+    # -- the loop --------------------------------------------------------------
+    def fit(
+        self,
+        train_loader,
+        val_loader=None,
+        max_epochs: int = 1,
+        ckpt_path: Optional[str] = None,
+        state: Optional[TrainState] = None,
+    ) -> TrainState:
+        first = None
+        for first in train_loader:
+            break
+        if first is None:
+            raise ValueError("empty training loader")
+
+        if state is None:
+            if ckpt_path:
+                state = self.restore(ckpt_path, first)
+            else:
+                state = self.init_state(first)
+
+        rng = jax.random.key(self.seed + 1)
+        global_step = int(state.step)
+        start_epoch = global_step // max(
+            min(self.limit_train_batches, len(train_loader)), 1
+        )
+
+        for epoch in range(start_epoch, max_epochs):
+            train_loader.set_epoch(epoch)
+            epoch_start = time.time()
+            n_batches = 0
+            epoch_loss = 0.0
+            for i, batch in enumerate(train_loader):
+                if i >= self.limit_train_batches:
+                    break
+                batch = self._put_batch(batch)
+                state, metrics = self._train_step(state, batch, rng)
+                n_batches += 1
+                global_step += 1
+
+                if self._preempted:
+                    self._save_preempt_checkpoint(state)
+                    return state
+
+                if self.logger is not None and (i % 10 == 0 or i == 0):
+                    loss = float(metrics["loss"])
+                    lr = float(metrics["learning_rate"])
+                    epoch_loss += loss
+                    self.logger.log(
+                        {
+                            "step": global_step,
+                            "epoch": epoch,
+                            "split": "train",
+                            "loss": loss,
+                            "learning_rate": lr,
+                        }
+                    )
+                    if self.wandb is not None:
+                        self.wandb.log({"train_loss": loss, "learning_rate": lr})
+
+            train_time = time.time() - epoch_start
+            if self.wandb is not None:
+                self.wandb.log({"train_epoch_time": train_time, "epoch": epoch})
+
+            if val_loader is not None:
+                val_start = time.time()
+                val_losses = []
+                for i, batch in enumerate(val_loader):
+                    if i >= self.limit_val_batches:
+                        break
+                    batch = self._put_batch(batch)
+                    metrics, _ = self._eval_step(state, batch)
+                    val_losses.append(float(metrics["loss"]))
+                if val_losses and self.logger is not None:
+                    val_loss = float(np.mean(val_losses))
+                    self.logger.log(
+                        {
+                            "step": global_step,
+                            "epoch": epoch,
+                            "split": "val",
+                            "loss": val_loss,
+                            "learning_rate": float("nan"),
+                        }
+                    )
+                    if self.wandb is not None:
+                        self.wandb.log(
+                            {
+                                "val_loss": val_loss,
+                                "val_epoch_time": time.time() - val_start,
+                                "epoch": epoch,
+                            }
+                        )
+
+            self.ckpt.save(
+                os.path.join(self.log_dir, "last"),
+                state,
+                self.module.normalization_constants,
+            )
+
+        self.ckpt.wait()
+        return state

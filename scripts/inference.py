@@ -1,0 +1,144 @@
+#!/usr/bin/env python3
+"""Autoregressive rollout inference.
+
+TPU-native counterpart of reference ``scripts/inference.py:176-266``, but the
+rollout is one on-device ``lax.scan`` (no host round-trip per window,
+contrast reference ``inference.py:244-247``) and the entry is a proper CLI
+instead of a hardcoded script body.
+
+    python scripts/inference.py --ckpt logs/run/last --data test.hdf5 \
+        --model avit_small --steps 500 --save-dir out/
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bubbleformer_tpu.config import load_config
+from bubbleformer_tpu.data import BubbleForecast
+from bubbleformer_tpu.inference import make_rollout_fn, rollout_targets
+from bubbleformer_tpu.training import (
+    ConditionedForecastModule,
+    ForecastModule,
+)
+from bubbleformer_tpu.utils.losses import LpLoss
+from bubbleformer_tpu.utils.metrics import (
+    eikonal_residual_per_step,
+    mass_conservation_drift,
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True, help="Orbax checkpoint directory")
+    ap.add_argument("--data", required=True, help="trajectory HDF5 to roll out on")
+    ap.add_argument("--model-cfg", default="avit_small", help="model config group name")
+    ap.add_argument("--data-cfg", default="singlebubble", help="data config group name")
+    ap.add_argument("--steps", type=int, default=500, help="total rollout timesteps")
+    ap.add_argument("--start-time", type=int, default=100)
+    ap.add_argument("--save-dir", default="rollout_out")
+    ap.add_argument("--plot", action="store_true")
+    args = ap.parse_args()
+
+    cfg = load_config([f"model_cfg={args.model_cfg}", f"data_cfg={args.data_cfg}"])
+    data_cfg = dict(cfg["data_cfg"])
+    data_cfg["start_time"] = args.start_time
+
+    dataset = BubbleForecast(
+        filenames=[args.data],
+        input_fields=data_cfg["input_fields"],
+        output_fields=data_cfg["output_fields"],
+        norm="none",
+        downsample_factor=data_cfg["downsample_factor"],
+        time_window=data_cfg["time_window"],
+        start_time=args.start_time,
+        return_fluid_params=data_cfg["return_fluid_params"],
+    )
+    dataset.normalize()
+    tw = dataset.time_window
+    num_windows = args.steps // tw
+
+    conditioned = data_cfg["return_fluid_params"]
+    module_cls = ConditionedForecastModule if conditioned else ForecastModule
+    module = module_cls(
+        model_cfg=cfg["model_cfg"],
+        data_cfg=data_cfg,
+        optim_cfg=cfg["optim_cfg"],
+        scheduler_cfg=cfg["scheduler_cfg"],
+        total_steps=1,
+        normalization_constants=(dataset.diff_terms, dataset.div_terms),
+    )
+
+    # Restore parameters (norm constants ride along in the checkpoint).
+    from bubbleformer_tpu.training.checkpoint import CheckpointManager
+
+    first = dataset[0]
+    batch = tuple(np.asarray(p)[None] for p in first)
+    rng = jax.random.key(0)
+    target_state = module.init_state(rng, batch)
+    ckpt = CheckpointManager(use_async=False)
+    # Params-only partial restore: independent of the optimizer the
+    # checkpoint was trained with.
+    params, norm = ckpt.restore_params(
+        args.ckpt, target_state.params, (dataset.diff_terms, dataset.div_terms)
+    )
+    if norm is not None:
+        dataset.normalize(*norm)
+
+    variables = {"params": params}
+    if target_state.batch_stats is not None:
+        variables["batch_stats"] = target_state.batch_stats
+
+    rollout = make_rollout_fn(module.model, num_windows, conditioned=conditioned)
+    init_window = jnp.asarray(batch[0])
+    if conditioned:
+        preds = rollout(variables, init_window, jnp.asarray(batch[2]))
+    else:
+        preds = rollout(variables, init_window)
+    # (num_windows, 1, T, C, H, W) -> (num_windows*T, C, H, W)
+    preds = np.asarray(preds)[:, 0].reshape(-1, *preds.shape[3:])
+
+    targets, timesteps = rollout_targets(dataset, 0, num_windows)
+
+    criterion = LpLoss(d=2, p=2, reduce_dims=[0, 1], reductions=["mean", "mean"])
+    for k in range(num_windows):
+        sl = slice(k * tw, (k + 1) * tw)
+        err = float(criterion(jnp.asarray(preds[sl]), jnp.asarray(targets[sl])))
+        print(f"window {k}: relative L2 = {err:.4f}")
+
+    sdf_idx = (
+        data_cfg["output_fields"].index("dfun")
+        if "dfun" in data_cfg["output_fields"]
+        else None
+    )
+    if sdf_idx is not None:
+        eik = eikonal_residual_per_step(jnp.asarray(preds[:, sdf_idx]))
+        drift = mass_conservation_drift(
+            jnp.asarray(preds[:, sdf_idx]), jnp.asarray(targets[:, sdf_idx])
+        )
+        print(f"eikonal residual (mean over rollout): {float(eik.mean()):.4f}")
+        print(f"vapor-fraction drift: {float(drift):.5f}")
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    np.savez(
+        os.path.join(args.save_dir, "predictions.npz"),
+        preds=preds,
+        targets=targets,
+        timesteps=timesteps,
+    )
+    if args.plot:
+        from bubbleformer_tpu.utils.plot_utils import plot_bubbleml
+
+        plot_bubbleml(preds, targets, timesteps, args.save_dir)
+    print(f"saved rollout to {args.save_dir}")
+
+
+if __name__ == "__main__":
+    main()

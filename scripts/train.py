@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Training entry point.
+
+TPU-native counterpart of reference ``scripts/train.py:69-217``: composes the
+YAML config groups with CLI overrides, builds the sliding-window datasets and
+loaders, picks the (conditioned) forecast module, and runs the jitted train
+loop with preemption checkpointing.
+
+Usage (mirrors the reference CLI):
+
+    python scripts/train.py max_epochs=400 batch_size=8 \
+        data_cfg=poolboiling_saturated model_cfg=avit_big optim_cfg=adamw
+
+Multi-host TPU needs no launcher plugin: every process runs this script and
+``jax.distributed.initialize()`` wires the topology (replaces the reference's
+SLURMEnvironment/DDP bootstrap at ``train.py:158-166``).
+"""
+from __future__ import annotations
+
+import os
+import pprint
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+from bubbleformer_tpu.config import load_config
+from bubbleformer_tpu.data import BubbleForecast, DataLoader
+from bubbleformer_tpu.parallel import initialize_distributed, is_leader, make_mesh
+from bubbleformer_tpu.training import (
+    ConditionedForecastModule,
+    ForecastModule,
+    Trainer,
+    next_preempt_ckpt_path,
+)
+
+
+def main(argv=None) -> None:
+    cfg = load_config(argv if argv is not None else sys.argv[1:])
+    initialize_distributed()
+
+    np.random.seed(cfg["seed"])
+
+    data_cfg = cfg["data_cfg"]
+    model_cfg = cfg["model_cfg"]
+
+    # Log-dir naming mirrors reference train.py:83-96.
+    if cfg.get("checkpoint_path"):
+        ckpt_path = cfg["checkpoint_path"]
+        log_dir = os.path.dirname(ckpt_path)
+    else:
+        ckpt_path = None
+        job_id = os.getenv("SLURM_JOB_ID") or os.getenv("JOB_ID") or "local"
+        log_id = f"{model_cfg['name'].lower()}_{data_cfg['dataset'].lower()}_{job_id}"
+        log_dir = os.path.join(cfg["log_dir"], log_id)
+        os.makedirs(log_dir, exist_ok=True)
+    preempt_path = next_preempt_ckpt_path(log_dir, ckpt_path)
+
+    common = dict(
+        input_fields=data_cfg["input_fields"],
+        output_fields=data_cfg["output_fields"],
+        norm=data_cfg["normalize"],
+        downsample_factor=data_cfg["downsample_factor"],
+        time_window=data_cfg["time_window"],
+        start_time=data_cfg["start_time"],
+        return_fluid_params=data_cfg["return_fluid_params"],
+    )
+    train_dataset = BubbleForecast(filenames=data_cfg["train_paths"], **common)
+    normalization_constants = train_dataset.normalize()
+    val_dataset = BubbleForecast(filenames=data_cfg["val_paths"], **common)
+    val_dataset.normalize(*normalization_constants)
+
+    loader_common = dict(
+        batch_size=cfg["batch_size"],
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    train_loader = DataLoader(
+        train_dataset, shuffle=True, seed=cfg["seed"], num_workers=8, **loader_common
+    )
+    val_loader = DataLoader(val_dataset, shuffle=False, num_workers=4, **loader_common)
+
+    limit_train = cfg.get("limit_train_batches", 1000)
+    steps_per_epoch = min(len(train_loader), limit_train)
+    total_steps = steps_per_epoch * cfg["max_epochs"]
+
+    module_cls = (
+        ConditionedForecastModule
+        if data_cfg["return_fluid_params"]
+        else ForecastModule
+    )
+    module = module_cls(
+        model_cfg=model_cfg,
+        data_cfg=data_cfg,
+        optim_cfg=cfg["optim_cfg"],
+        scheduler_cfg=cfg["scheduler_cfg"],
+        total_steps=total_steps,
+        normalization_constants=normalization_constants,
+        compute_dtype=cfg.get("compute_dtype"),
+    )
+
+    mesh_cfg = cfg.get("mesh_cfg", {"data": -1, "model": 1})
+    mesh = make_mesh(data=mesh_cfg.get("data", -1), model=mesh_cfg.get("model", 1))
+
+    trainer = Trainer(
+        module,
+        log_dir=log_dir,
+        mesh=mesh,
+        limit_train_batches=limit_train,
+        limit_val_batches=cfg.get("limit_val_batches", 25),
+        seed=cfg["seed"],
+        use_wandb=cfg.get("use_wandb", False),
+        preempt_ckpt_path=preempt_path,
+    )
+
+    if is_leader():
+        pprint.PrettyPrinter(depth=4).pprint(cfg)
+
+    trainer.fit(
+        train_loader,
+        val_loader,
+        max_epochs=cfg["max_epochs"],
+        ckpt_path=ckpt_path,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Distributed tests on the 8-device virtual CPU mesh: data parallelism,
+tensor parallelism, and numerical equivalence to single-device training."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bubbleformer_tpu.data import synthetic_batch
+from bubbleformer_tpu.parallel import (
+    batch_sharding,
+    infer_param_shardings,
+    make_mesh,
+    param_partition_spec,
+)
+from bubbleformer_tpu.training import ForecastModule, Trainer
+
+MODEL = {
+    "name": "avit",
+    "params": {
+        "patch_size": 4,
+        "embed_dim": 32,
+        "num_heads": 4,
+        "processor_blocks": 2,
+        "drop_path": 0.0,
+    },
+}
+DATA = {
+    "input_fields": ["dfun", "temperature", "velx", "vely"],
+    "output_fields": ["dfun", "temperature", "velx", "vely"],
+    "time_window": 2,
+}
+OPTIM = {"name": "adamw", "params": {"lr": 1e-3, "weight_decay": 0.0}}
+SCHED = {"name": "constant", "params": {}}
+
+
+def make_module():
+    return ForecastModule(
+        model_cfg=MODEL, data_cfg=DATA, optim_cfg=OPTIM, scheduler_cfg=SCHED, total_steps=10
+    )
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    mesh2 = make_mesh(data=4, model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(data=3, model=2)
+
+
+def test_partition_rules():
+    """QKV/fc1 column-parallel, output/fc2 row-parallel, rest replicated."""
+    module = make_module()
+    batch = synthetic_batch(2, 2, 4, 16, 16)
+    state = module.init_state(jax.random.key(0), batch)
+    mesh = make_mesh(data=4, model=2)
+    shardings = infer_param_shardings(state.params, mesh)
+
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    specs = {jax.tree_util.keystr(path): s.spec for path, s in flat}
+    col = [k for k in specs if "input_head" in k and "kernel" in k]
+    row = [k for k in specs if "output_head" in k and "kernel" in k]
+    assert col and row
+    for k in col:
+        assert specs[k][-1] == "model", (k, specs[k])
+    for k in row:
+        assert specs[k][-2] == "model", (k, specs[k])
+    norm = [k for k in specs if "norm1" in k]
+    for k in norm:
+        assert specs[k] == jax.sharding.PartitionSpec()
+
+
+def _train_n_steps(mesh, batch, n=3):
+    module = make_module()
+    trainer = Trainer(module, log_dir="/tmp/dist_logs", mesh=mesh, async_checkpoint=False)
+    state = trainer.init_state(batch)
+    b = trainer._put_batch(batch)
+    rng = jax.random.key(0)
+    losses = []
+    for _ in range(n):
+        state, m = trainer._train_step(state, b, rng)
+        losses.append(float(m["loss"]))
+    params = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), state.params)
+    return losses, params
+
+
+def test_dp_matches_single_device():
+    """8-way data parallelism must produce the same loss and parameters as a
+    single device (identical math, sharded execution)."""
+    batch = synthetic_batch(8, 2, 4, 16, 16)
+    losses_dp, params_dp = _train_n_steps(make_mesh(data=8, model=1), batch)
+    losses_1, params_1 = _train_n_steps(make_mesh(data=1, model=1, devices=jax.devices()[:1]), batch)
+    np.testing.assert_allclose(losses_dp, losses_1, rtol=2e-4, atol=1e-5)
+    diffs = jax.tree.map(lambda a, b: float(np.abs(a - b).max()), params_dp, params_1)
+    assert max(jax.tree.leaves(diffs)) < 2e-5
+
+
+def test_dp_tp_matches_single_device():
+    """4x2 data+tensor parallelism must match single-device numerics."""
+    batch = synthetic_batch(4, 2, 4, 16, 16)
+    losses_tp, params_tp = _train_n_steps(make_mesh(data=4, model=2), batch)
+    losses_1, params_1 = _train_n_steps(make_mesh(data=1, model=1, devices=jax.devices()[:1]), batch)
+    np.testing.assert_allclose(losses_tp, losses_1, rtol=2e-4, atol=1e-5)
+    diffs = jax.tree.map(lambda a, b: float(np.abs(a - b).max()), params_tp, params_1)
+    assert max(jax.tree.leaves(diffs)) < 2e-5
+
+
+def test_batch_sharding_placement():
+    mesh = make_mesh(data=8, model=1)
+    x = np.zeros((16, 2, 4, 8, 8), dtype=np.float32)
+    arr = jax.device_put(x, batch_sharding(mesh))
+    assert len(arr.addressable_shards) == 8
+    assert arr.addressable_shards[0].data.shape[0] == 2

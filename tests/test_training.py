@@ -1,0 +1,205 @@
+"""Training-loop tests: convergence smoke, checkpoint roundtrip, preemption
+path numbering, optimizer golden checks vs torch."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bubbleformer_tpu.data import synthetic_batch
+from bubbleformer_tpu.parallel import make_mesh
+import jax as _jax
+
+
+def small_mesh(n):
+    return make_mesh(data=n, model=1, devices=_jax.devices()[:n])
+from bubbleformer_tpu.training import (
+    ConditionedForecastModule,
+    ForecastModule,
+    Trainer,
+    next_preempt_ckpt_path,
+)
+
+TINY_MODEL = {
+    "name": "avit",
+    "params": {
+        "patch_size": 4,
+        "embed_dim": 24,
+        "num_heads": 4,
+        "processor_blocks": 2,
+        "drop_path": 0.0,
+    },
+}
+DATA_CFG = {
+    "input_fields": ["dfun", "temperature", "velx", "vely"],
+    "output_fields": ["dfun", "temperature", "velx", "vely"],
+    "time_window": 2,
+}
+OPTIM = {"name": "adamw", "params": {"lr": 1e-3, "weight_decay": 1e-2}}
+SCHED = {"name": "cosine_warmup", "params": {"warmup_iters": 5, "eta_min": 1e-6}}
+
+
+def make_module(cls=ForecastModule, **kw):
+    return cls(
+        model_cfg=kw.pop("model_cfg", TINY_MODEL),
+        data_cfg=kw.pop("data_cfg", DATA_CFG),
+        optim_cfg=kw.pop("optim_cfg", OPTIM),
+        scheduler_cfg=kw.pop("scheduler_cfg", SCHED),
+        total_steps=kw.pop("total_steps", 50),
+        **kw,
+    )
+
+
+def test_train_loss_decreases(tmp_path):
+    module = make_module()
+    batch = synthetic_batch(4, 2, 4, 16, 16)
+    trainer = Trainer(module, log_dir=str(tmp_path), mesh=small_mesh(4), async_checkpoint=False)
+    state = trainer.init_state(batch)
+    step = trainer._train_step
+    b = trainer._put_batch(batch)
+    rng = jax.random.key(0)
+    losses = []
+    for _ in range(20):
+        state, m = step(state, b, rng)
+        losses.append(float(m["loss"]))
+    # 20 adamw steps under warmup on a tiny model: expect a steady decrease.
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.99
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    module = make_module(normalization_constants=({"dfun": 1.5}, {"dfun": 2.5}))
+    batch = synthetic_batch(2, 2, 4, 16, 16)
+    trainer = Trainer(module, log_dir=str(tmp_path), mesh=small_mesh(2), async_checkpoint=False)
+    state = trainer.init_state(batch)
+    b = trainer._put_batch(batch)
+    state, _ = trainer._train_step(state, b, jax.random.key(0))
+
+    ckpt_path = os.path.join(str(tmp_path), "ckpt")
+    trainer.ckpt.save(ckpt_path, state, module.normalization_constants)
+    trainer.ckpt.wait()
+
+    module2 = make_module(normalization_constants=({"dfun": 0.0}, {"dfun": 1.0}))
+    trainer2 = Trainer(module2, log_dir=str(tmp_path / "t2"), mesh=small_mesh(2), async_checkpoint=False)
+    state2 = trainer2.restore(ckpt_path, batch)
+
+    assert int(state2.step) == int(state.step)
+    diffs = jax.tree.map(
+        lambda a, c: float(np.abs(np.asarray(a) - np.asarray(c)).max()),
+        state.params,
+        state2.params,
+    )
+    assert max(jax.tree.leaves(diffs)) == 0.0
+    # Normalization constants travel with the checkpoint.
+    assert module2.normalization_constants[0]["dfun"] == 1.5
+    assert module2.normalization_constants[1]["dfun"] == 2.5
+
+
+def test_conditioned_module_step(tmp_path):
+    model_cfg = {
+        "name": "filmavit",
+        "params": dict(TINY_MODEL["params"], num_fluid_params=9),
+    }
+    module = make_module(cls=ConditionedForecastModule, model_cfg=model_cfg)
+    batch = synthetic_batch(2, 2, 4, 16, 16, num_fluid_params=9)
+    trainer = Trainer(module, log_dir=str(tmp_path), mesh=small_mesh(2), async_checkpoint=False)
+    state = trainer.init_state(batch)
+    b = trainer._put_batch(batch)
+    state, m = trainer._train_step(state, b, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_unet_classic_batch_stats_update(tmp_path):
+    model_cfg = {"name": "unet_classic", "params": {"hidden_channels": 4}}
+    module = make_module(model_cfg=model_cfg)
+    batch = synthetic_batch(2, 2, 4, 16, 16)
+    trainer = Trainer(module, log_dir=str(tmp_path), mesh=small_mesh(2), async_checkpoint=False)
+    state = trainer.init_state(batch)
+    assert state.batch_stats is not None
+    before = jax.tree.map(np.asarray, state.batch_stats)
+    b = trainer._put_batch(batch)
+    state, _ = trainer._train_step(state, b, jax.random.key(0))
+    after = jax.tree.map(np.asarray, state.batch_stats)
+    changed = jax.tree.map(
+        lambda x, y: float(np.abs(x - y).max()), before, after
+    )
+    assert max(jax.tree.leaves(changed)) > 0.0
+
+
+def test_preempt_path_numbering():
+    assert next_preempt_ckpt_path("/logs/run", None).endswith("hpc_ckpt_1")
+    assert next_preempt_ckpt_path("/logs/run", "/logs/run/hpc_ckpt_3").endswith(
+        "hpc_ckpt_4"
+    )
+
+
+def test_fit_loop_with_csv_logging(tmp_path):
+    """End-to-end fit() over an in-memory loader: 2 epochs, val, checkpoint."""
+
+    class ListLoader:
+        def __init__(self, batches):
+            self.batches = batches
+
+        def set_epoch(self, epoch):
+            pass
+
+        def __len__(self):
+            return len(self.batches)
+
+        def __iter__(self):
+            return iter(self.batches)
+
+    module = make_module()
+    batches = [synthetic_batch(2, 2, 4, 16, 16, seed=i) for i in range(3)]
+    trainer = Trainer(
+        module,
+        log_dir=str(tmp_path),
+        mesh=small_mesh(2),
+        limit_train_batches=3,
+        limit_val_batches=2,
+        async_checkpoint=False,
+    )
+    state = trainer.fit(ListLoader(batches), ListLoader(batches[:2]), max_epochs=2)
+    assert int(state.step) == 6
+    assert os.path.exists(os.path.join(str(tmp_path), "metrics.csv"))
+    assert os.path.isdir(os.path.join(str(tmp_path), "last"))
+
+
+@pytest.mark.parametrize("name", ["adamw", "adam", "lion"])
+def test_optimizer_golden_vs_torch(name):
+    """One optimizer step on identical params/grads matches torch."""
+    import torch
+
+    from bubbleformer_tpu.training.optim import make_optimizer
+
+    rng = np.random.default_rng(0)
+    p0 = rng.standard_normal((4, 3)).astype(np.float32)
+    g = rng.standard_normal((4, 3)).astype(np.float32)
+    lr, wd = 1e-3, 1e-2
+
+    opt = make_optimizer(name, lr, weight_decay=wd)
+    params = {"w": jnp.asarray(p0)}
+    opt_state = opt.init(params)
+    new_params = params
+    grads = {"w": jnp.asarray(g)}
+    import optax
+
+    for _ in range(3):
+        updates, opt_state = opt.update(grads, opt_state, new_params)
+        new_params = optax.apply_updates(new_params, updates)
+
+    pt = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    if name == "adamw":
+        topt = torch.optim.AdamW([pt], lr=lr, weight_decay=wd)
+    elif name == "adam":
+        topt = torch.optim.Adam([pt], lr=lr, weight_decay=wd)
+    else:
+        pytest.skip("lion_pytorch not available as torch oracle")
+    for _ in range(3):
+        pt.grad = torch.from_numpy(g.copy())
+        topt.step()
+    np.testing.assert_allclose(
+        np.asarray(new_params["w"]), pt.detach().numpy(), atol=1e-6, rtol=1e-5
+    )
