@@ -31,10 +31,14 @@ class InstanceNorm(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        # Statistics in float32 for stability regardless of activation dtype.
+        # Single-pass statistics (E[x^2] - E[x]^2) in float32: one read of the
+        # feature map for both moments instead of the two-pass subtract-mean
+        # form — matters at the embed-pyramid resolutions where the maps are
+        # hundreds of MB.
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=(-3, -2), keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
-        y = y * scale + bias
+        mean_sq = jnp.mean(jnp.square(xf), axis=(-3, -2), keepdims=True)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        y = xf * inv + (bias - mean * inv)
         return y.astype(x.dtype)

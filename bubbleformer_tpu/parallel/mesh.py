@@ -19,6 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SPATIAL_AXIS = "spatial"
 
 
 def initialize_distributed() -> None:
@@ -41,17 +42,28 @@ def is_leader() -> bool:
     return jax.process_index() == 0
 
 
-def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
-    """Build a (data, model) mesh; ``data=-1`` uses all remaining devices."""
+def make_mesh(data: int = -1, model: int = 1, spatial: int = 1, devices=None) -> Mesh:
+    """Build a (data, model[, spatial]) mesh; ``data=-1`` takes the remainder.
+
+    The ``spatial`` axis implements sequence/spatial parallelism for very
+    large grids: activations are sharded along the token-grid row dimension
+    (see ``AViT.spatial_shard_axis``) and GSPMD inserts the all-gathers the
+    column attention needs.  The reference has no SP (SURVEY.md §2.3); this
+    is the TPU-native answer for grids that outgrow one chip's HBM.
+    """
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if data == -1:
-        if n % model != 0:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+        if n % (model * spatial) != 0:
+            raise ValueError(f"{n} devices not divisible by model*spatial")
+        data = n // (model * spatial)
+    if data * model * spatial != n:
+        raise ValueError(f"mesh {data}x{model}x{spatial} != {n} devices")
+    if spatial == 1:
+        return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+    return Mesh(
+        devices.reshape(data, model, spatial), (DATA_AXIS, MODEL_AXIS, SPATIAL_AXIS)
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -64,6 +64,9 @@ class Trainer:
         checkpoint_every_n_epochs: int = 1,
         preempt_ckpt_path: Optional[str] = None,
         async_checkpoint: bool = True,
+        plot_val_samples: bool = False,
+        profile_dir: Optional[str] = None,
+        profile_steps: tuple = (10, 15),
     ):
         self.module = module
         self.log_dir = log_dir
@@ -75,10 +78,28 @@ class Trainer:
         self.ckpt = CheckpointManager(use_async=async_checkpoint)
         self.preempt_ckpt_path = preempt_ckpt_path or os.path.join(log_dir, "hpc_ckpt_1")
         self._preempted = False
+        self.plot_val_samples = plot_val_samples
+        # jax.profiler trace window (replaces the reference's coarse
+        # wall-clock-only timing, SURVEY.md §5 tracing/profiling gap).
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
 
         self._batch_sharding = batch_sharding(self.mesh)
-        self._train_step = jax.jit(module.make_train_step(), donate_argnums=0)
-        self._eval_step = jax.jit(module.make_eval_step())
+        # Steps trace inside the ambient mesh so bare-PartitionSpec sharding
+        # constraints (e.g. the model's spatial_shard_axis) resolve.
+        _train = jax.jit(module.make_train_step(), donate_argnums=0)
+        _eval = jax.jit(module.make_eval_step())
+
+        def train_in_mesh(*a):
+            with jax.set_mesh(self.mesh):
+                return _train(*a)
+
+        def eval_in_mesh(*a):
+            with jax.set_mesh(self.mesh):
+                return _eval(*a)
+
+        self._train_step = train_in_mesh
+        self._eval_step = eval_in_mesh
 
         self.wandb = None
         if use_wandb and is_leader():
@@ -113,7 +134,8 @@ class Trainer:
 
     def init_state(self, sample_batch) -> TrainState:
         rng = jax.random.key(self.seed)
-        state = self.module.init_state(rng, sample_batch)
+        with jax.set_mesh(self.mesh):
+            state = self.module.init_state(rng, sample_batch)
         # Place parameters under the mesh partitioning rules (replicated on a
         # pure-data mesh) and replicate the rest of the state accordingly.
         return state.replace(
@@ -123,12 +145,54 @@ class Trainer:
 
     def restore(self, ckpt_path: str, sample_batch) -> TrainState:
         rng = jax.random.key(self.seed)
-        target = self.module.init_state(rng, sample_batch)
+        with jax.set_mesh(self.mesh):
+            target = self.module.init_state(rng, sample_batch)
         norm_example = self.module.normalization_constants
         state, norm = self.ckpt.restore(ckpt_path, target, norm_example)
         if norm is not None:
             self.module.normalization_constants = norm
         return state
+
+    def _log_val_images(self, val_sample, epoch: int) -> None:
+        """Per-epoch validation image panels (reference ``modules.py:197-253``).
+
+        Renders SDF (with interface overlay), temperature and velocity panels
+        of the first validation sample's target vs prediction, to the log dir
+        and (when enabled) to W&B.
+        """
+        if not (self.plot_val_samples and is_leader()):
+            return
+        from bubbleformer_tpu.utils import plot_utils
+
+        batch, pred = val_sample
+        fields = self.module.data_cfg["output_fields"]
+        target = np.asarray(self.module.target(batch)[0])  # (T, C, H, W)
+        pred = np.asarray(pred[0])
+
+        out_dir = os.path.join(self.log_dir, f"val_epoch_{epoch}")
+        os.makedirs(out_dir, exist_ok=True)
+        figs = {}
+        if "dfun" in fields:
+            c = fields.index("dfun")
+            figs["target_sdf"] = plot_utils.sdf_panel(target[:, c])
+            figs["pred_sdf"] = plot_utils.sdf_panel(pred[:, c])
+        if "temperature" in fields:
+            c = fields.index("temperature")
+            figs["target_temp"] = plot_utils.temp_panel(target[:, c])
+            figs["pred_temp"] = plot_utils.temp_panel(pred[:, c])
+        if "velx" in fields and "vely" in fields:
+            cx, cy = fields.index("velx"), fields.index("vely")
+            tvel = np.stack([target[:, cx], target[:, cy]], axis=1)
+            pvel = np.stack([pred[:, cx], pred[:, cy]], axis=1)
+            figs["target_vel"] = plot_utils.vel_panel(tvel)
+            figs["pred_vel"] = plot_utils.vel_panel(pvel)
+        import matplotlib.pyplot as plt
+
+        for name, fig in figs.items():
+            fig.savefig(os.path.join(out_dir, f"{name}.png"), bbox_inches="tight")
+            if self.wandb is not None:
+                self.wandb.log({name: self.wandb.Image(fig, caption=f"Epc {epoch}")})
+            plt.close(fig)
 
     # -- the loop --------------------------------------------------------------
     def fit(
@@ -165,10 +229,15 @@ class Trainer:
             for i, batch in enumerate(train_loader):
                 if i >= self.limit_train_batches:
                     break
+                if self.profile_dir and global_step == self.profile_steps[0]:
+                    jax.profiler.start_trace(self.profile_dir)
                 batch = self._put_batch(batch)
                 state, metrics = self._train_step(state, batch, rng)
                 n_batches += 1
                 global_step += 1
+                if self.profile_dir and global_step == self.profile_steps[1]:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
 
                 if self._preempted:
                     self._save_preempt_checkpoint(state)
@@ -197,12 +266,17 @@ class Trainer:
             if val_loader is not None:
                 val_start = time.time()
                 val_losses = []
+                val_sample = None
                 for i, batch in enumerate(val_loader):
                     if i >= self.limit_val_batches:
                         break
                     batch = self._put_batch(batch)
-                    metrics, _ = self._eval_step(state, batch)
+                    metrics, pred = self._eval_step(state, batch)
                     val_losses.append(float(metrics["loss"]))
+                    if i == 0:
+                        val_sample = (batch, pred)
+                if val_sample is not None:
+                    self._log_val_images(val_sample, epoch)
                 if val_losses and self.logger is not None:
                     val_loss = float(np.mean(val_losses))
                     self.logger.log(
