@@ -196,6 +196,80 @@ class BubbleForecast:
             return inp, out, self.fluid_params_vector(file_idx)
         return inp, out
 
+    # -- native fast path -----------------------------------------------------
+    def enable_native(self, cache_dir: Optional[str] = None) -> bool:
+        """Switch batch assembly to the C/OpenMP fast path.
+
+        Builds per-field ``.npy`` memory-mapped caches (one-time) and routes
+        ``get_batch`` through the native assembler.  Returns False (and stays
+        on the numpy path) when no C compiler is available.
+        """
+        from bubbleformer_tpu.data import native as native_mod
+
+        if not native_mod.available():
+            return False
+        from bubbleformer_tpu.data.cache import open_field_caches
+
+        self._native_caches = open_field_caches(self.filenames, self.fields, cache_dir)
+        self._native = True
+        return True
+
+    def get_batch(self, indices):
+        """Assemble a full (inp, tgt[, params]) batch for the given indices."""
+        indices = np.asarray(indices, dtype=np.int64)
+        if not getattr(self, "_native", False):
+            samples = [self[int(i)] for i in indices]
+            return tuple(
+                np.stack([s[j] for s in samples]) for j in range(len(samples[0]))
+            )
+
+        from bubbleformer_tpu.data import native as native_mod
+
+        tw = self.time_window
+        located = [self._locate(int(i)) for i in indices]
+        batch = len(indices)
+        f = self.downsample_factor
+        h, w = self.data[0][self.input_fields[0]].shape[1:]
+        inp = np.empty(
+            (batch, tw, len(self.input_fields), h // f, w // f), np.float32
+        )
+        out = np.empty(
+            (batch, tw, len(self.output_fields), h // f, w // f), np.float32
+        )
+
+        def fields_arrays(file_idx, names):
+            return [self._native_caches[file_idx][name] for name in names]
+
+        # Group rows by source file so each native call gathers contiguously
+        # from one set of memmaps.
+        by_file: Dict[int, List[int]] = {}
+        for row, (file_idx, _) in enumerate(located):
+            by_file.setdefault(file_idx, []).append(row)
+        for file_idx, rows in by_file.items():
+            starts = np.asarray([located[r][1] for r in rows], dtype=np.int64)
+            diff_in = np.asarray([self.diff_terms[k] for k in self.input_fields])
+            div_in = np.asarray([self.div_terms[k] for k in self.input_fields])
+            inp[rows] = native_mod.assemble_windows(
+                fields_arrays(file_idx, self.input_fields), starts, tw, f, diff_in, div_in
+            )
+            diff_out = np.asarray([self.diff_terms[k] for k in self.output_fields])
+            div_out = np.asarray([self.div_terms[k] for k in self.output_fields])
+            out[rows] = native_mod.assemble_windows(
+                fields_arrays(file_idx, self.output_fields),
+                starts + tw,
+                tw,
+                f,
+                diff_out,
+                div_out,
+            )
+
+        if self.return_fluid_params:
+            params = np.stack(
+                [self.fluid_params_vector(fi) for fi, _ in located]
+            ).astype(np.float32)
+            return inp, out, params
+        return inp, out
+
     def close(self) -> None:
         for f in self.data:
             f.close()

@@ -70,6 +70,9 @@ class DataLoader:
         return (n_local + self.batch_size - 1) // self.batch_size
 
     def _collate(self, indices: np.ndarray):
+        # Native fast path: one C/OpenMP gather for the whole batch.
+        if getattr(self.dataset, "_native", False):
+            return self.dataset.get_batch(indices)
         samples = list(self._pool.map(self.dataset.__getitem__, indices))
         parts = tuple(np.stack([s[i] for s in samples]) for i in range(len(samples[0])))
         return parts

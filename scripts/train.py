@@ -71,6 +71,12 @@ def main(argv=None) -> None:
     normalization_constants = train_dataset.normalize()
     val_dataset = BubbleForecast(filenames=data_cfg["val_paths"], **common)
     val_dataset.normalize(*normalization_constants)
+    if cfg.get("native_loader", True):
+        # C/OpenMP batch assembly over memory-mapped field caches (falls back
+        # to the numpy path when no C compiler is available).
+        used_native = train_dataset.enable_native() and val_dataset.enable_native()
+        if is_leader():
+            print(f"native loader: {'enabled' if used_native else 'unavailable'}")
 
     loader_common = dict(
         batch_size=cfg["batch_size"],

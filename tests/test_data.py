@@ -151,3 +151,37 @@ def test_loader_batching_and_sharding(sample_files):
     assert e0 != e1
     l0.set_epoch(0)
     assert l0._local_indices().tolist() == e0
+
+
+def test_native_batch_assembly_golden(sample_files):
+    """C/OpenMP assembler must reproduce the numpy path bit-for-bit-ish."""
+    from bubbleformer_tpu.data import BubbleForecast
+    from bubbleformer_tpu.data import native as native_mod
+
+    if not native_mod.available():
+        import pytest as _pytest
+
+        _pytest.skip("no C compiler for the native assembler")
+
+    kw = dict(
+        input_fields=FIELDS, output_fields=FIELDS[:2], norm="std",
+        downsample_factor=2, time_window=3, start_time=4,
+        return_fluid_params=False,
+    )
+    ds = BubbleForecast(sample_files, **kw)
+    ds.normalize()
+    idx = np.array([0, 3, 40, len(ds) - 1])
+    ref = ds.get_batch(idx)
+    assert ds.enable_native()
+    nat = ds.get_batch(idx)
+    for a, b in zip(ref, nat):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # Stats agree with the streaming numpy implementation.
+    import h5py
+
+    with h5py.File(sample_files[0], "r") as f:
+        data = np.asarray(f["dfun"], dtype=np.float32)
+    st = native_mod.field_stats(data)
+    np.testing.assert_allclose(st["mean"], data.mean(), rtol=1e-6)
+    np.testing.assert_allclose(st["std"], data.std(), rtol=1e-5)
