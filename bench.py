@@ -115,6 +115,7 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--attn-impl", default="auto", choices=["auto", "flash", "packed", "plain"])
     ap.add_argument("--scan-blocks", action="store_true")
+    ap.add_argument("--no-rollout", action="store_true", help="skip the rollout fps metric")
     args = ap.parse_args()
 
     from bubbleformer_tpu.config import load_config
@@ -242,6 +243,26 @@ def main() -> None:
         f"{mfu_measured*100:.1f}% of measured matmul peak"
     )
 
+    # Secondary north-star metric (BASELINE.md): jit-scanned autoregressive
+    # rollout throughput in frames/sec (no host round-trips).
+    rollout_fps = None
+    if not args.no_rollout:
+        from bubbleformer_tpu.inference import make_rollout_fn
+
+        n_windows = 20
+        rollout = make_rollout_fn(module.model, n_windows, conditioned=conditioned)
+        variables = {"params": state.params}
+        init_w = b[0][:1]
+        roll_args = (variables, init_w, b[2][:1]) if conditioned else (variables, init_w)
+        preds = rollout(*roll_args)
+        _ = float(jnp.sum(preds[-1].astype(jnp.float32)))  # sync
+        t0 = time.time()
+        preds = rollout(*roll_args)
+        _ = float(jnp.sum(preds[-1].astype(jnp.float32)))
+        roll_dt = time.time() - t0
+        rollout_fps = n_windows * args.time_window / roll_dt
+        log(f"rollout: {rollout_fps:.1f} frames/s ({n_windows} windows x tw{args.time_window})")
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
     vs_baseline = 1.0
     if os.path.exists(baseline_path):
@@ -260,6 +281,7 @@ def main() -> None:
         "mfu": round(mfu, 4),
         "mfu_vs_measured_peak": round(mfu_measured, 4),
         "measured_matmul_tflops": round(measured_peak / 1e12, 1),
+        "rollout_frames_per_sec": round(rollout_fps, 1) if rollout_fps else None,
         "params_m": round(n_params / 1e6, 2),
         "device": str(dev.device_kind),
     }

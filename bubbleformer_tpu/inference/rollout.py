@@ -31,6 +31,8 @@ def make_rollout_fn(model, num_windows: int, conditioned: bool = False):
         def rollout(variables, init_window, cond):
             def step(window, _):
                 pred = model.apply(variables, window, cond, train=False)
+                # Keep the scan carry dtype stable under bf16 compute.
+                pred = pred.astype(window.dtype)
                 return pred, pred
 
             _, preds = jax.lax.scan(step, init_window, None, length=num_windows)
@@ -42,6 +44,7 @@ def make_rollout_fn(model, num_windows: int, conditioned: bool = False):
         def rollout(variables, init_window):
             def step(window, _):
                 pred = model.apply(variables, window, train=False)
+                pred = pred.astype(window.dtype)
                 return pred, pred
 
             _, preds = jax.lax.scan(step, init_window, None, length=num_windows)

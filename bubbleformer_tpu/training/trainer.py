@@ -214,6 +214,10 @@ class Trainer:
                 state = self.restore(ckpt_path, first)
             else:
                 state = self.init_state(first)
+            if is_leader():
+                from bubbleformer_tpu.utils.summary import parameter_table
+
+                print(parameter_table(state.params))
 
         rng = jax.random.key(self.seed + 1)
         global_step = int(state.step)

@@ -253,3 +253,27 @@ def test_film_golden():
         xt = torch.from_numpy(x.transpose(0, 1, 4, 2, 3))
         out_t = tmod(xt, torch.from_numpy(cond)).numpy().transpose(0, 1, 3, 4, 2)
     np.testing.assert_allclose(out_j, out_t, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("cls_name", ["embed", "debed"])
+def test_s2d_impl_equals_conv_impl(cls_name):
+    """Space-to-depth matmul formulation == strided conv, same parameters."""
+    from bubbleformer_tpu.layers import HMLPDebed, HMLPEmbed
+
+    if cls_name == "embed":
+        kw = dict(patch_size=4, embed_dim=32, in_channels=3)
+        x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+        cls = HMLPEmbed
+    else:
+        kw = dict(patch_size=4, embed_dim=32, out_channels=3)
+        x = jax.random.normal(jax.random.key(1), (2, 4, 4, 32))
+        cls = HMLPDebed
+    m_s2d = cls(impl="s2d", **kw)
+    m_conv = cls(impl="conv", **kw)
+    v = m_s2d.init(jax.random.key(2), x)
+    np.testing.assert_allclose(
+        np.asarray(m_s2d.apply(v, x)),
+        np.asarray(m_conv.apply(v, x)),
+        atol=5e-6,
+        rtol=1e-5,
+    )

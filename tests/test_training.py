@@ -203,3 +203,52 @@ def test_optimizer_golden_vs_torch(name):
     np.testing.assert_allclose(
         np.asarray(new_params["w"]), pt.detach().numpy(), atol=1e-6, rtol=1e-5
     )
+
+
+def test_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-fit must produce a consistent numbered checkpoint."""
+    import signal
+
+    class OneShotLoader:
+        """Sends SIGTERM to this process after yielding the second batch."""
+
+        def __init__(self, batches):
+            self.batches = batches
+
+        def set_epoch(self, epoch):
+            pass
+
+        def __len__(self):
+            return len(self.batches)
+
+        def __iter__(self):
+            for i, b in enumerate(self.batches):
+                if i == 1:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield b
+
+    module = make_module()
+    batches = [synthetic_batch(2, 2, 4, 16, 16, seed=i) for i in range(4)]
+    preempt_path = os.path.join(str(tmp_path), "hpc_ckpt_1")
+    trainer = Trainer(
+        module,
+        log_dir=str(tmp_path),
+        mesh=small_mesh(2),
+        preempt_ckpt_path=preempt_path,
+        async_checkpoint=False,
+    )
+    state = trainer.fit(OneShotLoader(batches), max_epochs=3)
+    # Stopped early (the SIGTERM fired after batch 2 of epoch 0).
+    assert int(state.step) == 2
+    assert os.path.isdir(preempt_path)
+
+    # Resume from the preemption checkpoint.
+    trainer2 = Trainer(
+        module, log_dir=str(tmp_path / "resume"), mesh=small_mesh(2), async_checkpoint=False
+    )
+    state2 = trainer2.restore(preempt_path, batches[0])
+    assert int(state2.step) == 2
+
+    from bubbleformer_tpu.training import next_preempt_ckpt_path
+
+    assert next_preempt_ckpt_path(str(tmp_path), preempt_path).endswith("hpc_ckpt_2")
