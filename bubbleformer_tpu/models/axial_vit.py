@@ -235,11 +235,14 @@ class AViT(nn.Module):
 class FiLMAViT(AViT):
     """AViT with FiLM conditioning of post-embed features on fluid parameters.
 
-    Reference: ``axial_vit.py:154-242`` (FiLM applied once after embedding;
-    the reference's per-block FiLM is commented out and not replicated).
+    Reference: ``axial_vit.py:154-242`` — FiLM applied once after embedding.
+    ``film_per_block=True`` additionally modulates after every SpaceTimeBlock
+    (the reference scaffolds this but leaves it commented out,
+    ``axial_vit.py:195-197,233-236``); off by default for parity.
     """
 
     num_fluid_params: int = 9
+    film_per_block: bool = False
 
     @nn.compact
     def __call__(  # type: ignore[override]
@@ -252,5 +255,32 @@ class FiLMAViT(AViT):
             dtype=self.dtype,
             name="film_embed",
         )(x, fluid_params)
-        x = self._process(x, train)
+        if self.film_per_block:
+            # Per-block FiLM forces the unrolled path (each block gets its
+            # own modulation parameters).
+            dp_rates = np.linspace(0.0, self.drop_path, self.processor_blocks)
+            block_kwargs = dict(
+                embed_dim=self.embed_dim,
+                num_heads=self.num_heads,
+                attn_scale=self.attn_scale,
+                feat_scale=self.feat_scale,
+                bias_type=self.bias_type,
+                attn_impl=self.attn_impl,
+                deterministic=not train,
+                dtype=self.dtype,
+            )
+            x = self._maybe_shard_spatial(x)
+            for i in range(self.processor_blocks):
+                x, _ = SpaceTimeBlock(name=f"block{i}", **block_kwargs)(
+                    x, jnp.float32(dp_rates[i])
+                )
+                x = FiLMMLP(
+                    param_dim=self.num_fluid_params,
+                    embed_dim=self.embed_dim,
+                    dtype=self.dtype,
+                    name=f"film_block{i}",
+                )(x, fluid_params)
+                x = self._maybe_shard_spatial(x)
+        else:
+            x = self._process(x, train)
         return self._decode(x)

@@ -250,6 +250,18 @@ class Trainer:
                 if self.logger is not None and (i % 10 == 0 or i == 0):
                     loss = float(metrics["loss"])
                     lr = float(metrics["learning_rate"])
+                    if not np.isfinite(loss):
+                        # Failure detection: snapshot the diverged state for
+                        # post-mortem and stop instead of burning the job.
+                        crash_path = os.path.join(self.log_dir, "non_finite_state")
+                        self.ckpt.save(
+                            crash_path, state, self.module.normalization_constants
+                        )
+                        self.ckpt.wait()
+                        raise FloatingPointError(
+                            f"non-finite loss {loss} at step {global_step}; "
+                            f"state saved to {crash_path}"
+                        )
                     epoch_loss += loss
                     self.logger.log(
                         {

@@ -185,3 +185,22 @@ def test_native_batch_assembly_golden(sample_files):
     st = native_mod.field_stats(data)
     np.testing.assert_allclose(st["mean"], data.mean(), rtol=1e-6)
     np.testing.assert_allclose(st["std"], data.std(), rtol=1e-5)
+
+
+def test_grain_loader(sample_files):
+    """Optional grain pipeline yields the same batch tuples."""
+    from bubbleformer_tpu.data import BubbleForecast
+    from bubbleformer_tpu.data.grain_pipeline import GRAIN_AVAILABLE, make_grain_loader
+
+    if not GRAIN_AVAILABLE:
+        pytest.skip("grain not installed")
+
+    ds = BubbleForecast(
+        sample_files, input_fields=FIELDS, output_fields=FIELDS, norm="none",
+        time_window=2, start_time=5,
+    )
+    ds.normalize()
+    loader = make_grain_loader(ds, batch_size=4, shuffle=True, seed=0, num_epochs=1)
+    batch = next(iter(loader))
+    assert batch[0].shape == (4, 2, 4, 32, 32)
+    assert batch[1].shape == (4, 2, 4, 32, 32)

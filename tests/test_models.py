@@ -123,3 +123,14 @@ def test_unet_classic_forward():
     y, mutated = model.apply(v, x, train=True, mutable=["batch_stats"])
     assert y.shape == (2, 5, 4, 16, 16)
     assert "batch_stats" in mutated
+
+
+def test_filmavit_per_block():
+    model = get_model(
+        "filmavit", num_fluid_params=9, film_per_block=True, **TINY
+    )
+    x = jnp.ones((2, 5, 4, 16, 16))
+    cond = jax.random.normal(jax.random.key(0), (2, 9))
+    v = model.init({"params": jax.random.key(1)}, x, cond)
+    assert model.apply(v, x, cond).shape == (2, 5, 4, 16, 16)
+    assert "film_block0" in v["params"] and "film_block1" in v["params"]
