@@ -111,3 +111,37 @@ def test_batch_sharding_placement():
     arr = jax.device_put(x, batch_sharding(mesh))
     assert len(arr.addressable_shards) == 8
     assert arr.addressable_shards[0].data.shape[0] == 2
+
+
+def test_spatial_parallelism_matches_unsharded():
+    """SP (token-grid rows sharded over 'spatial') must preserve numerics."""
+    batch = synthetic_batch(2, 2, 4, 16, 16)
+    mesh = make_mesh(data=2, model=2, spatial=2)
+
+    sp_model_cfg = {
+        "name": "avit",
+        "params": dict(MODEL["params"], spatial_shard_axis="spatial"),
+    }
+    module_sp = ForecastModule(
+        model_cfg=sp_model_cfg, data_cfg=DATA, optim_cfg=OPTIM,
+        scheduler_cfg=SCHED, total_steps=10,
+    )
+    trainer_sp = Trainer(module_sp, log_dir="/tmp/sp_logs", mesh=mesh, async_checkpoint=False)
+    state_sp = trainer_sp.init_state(batch)
+    b = trainer_sp._put_batch(batch)
+    rng = jax.random.key(0)
+    losses_sp = []
+    for _ in range(3):
+        state_sp, m = trainer_sp._train_step(state_sp, b, rng)
+        losses_sp.append(float(m["loss"]))
+
+    losses_1, params_1 = _train_n_steps(
+        make_mesh(data=1, model=1, devices=jax.devices()[:1]), batch
+    )
+    np.testing.assert_allclose(losses_sp, losses_1, rtol=2e-4, atol=1e-5)
+    diffs = jax.tree.map(
+        lambda a, c: float(np.abs(np.asarray(jax.device_get(a)) - c).max()),
+        state_sp.params,
+        params_1,
+    )
+    assert max(jax.tree.leaves(diffs)) < 2e-5
