@@ -30,17 +30,22 @@ from bubbleformer_tpu.ops.attention import axis_attention, packed_attention
 from bubbleformer_tpu.ops.axial_pallas import flash_packed_attention
 
 
-def _resolve_attn_impl(impl: str) -> str:
-    """Resolve the 'auto' attention implementation.
+def _resolve_attn_impl(impl: str, seq_len: int) -> str:
+    """Resolve the 'auto' attention implementation, shape-aware.
 
-    Measured head-to-head on v5e (FiLMAViT-small, 512^2, bf16, full train
-    step): plain batched dot_general 233.8 ms/step < Pallas flash packed
-    256.5 < XLA packed 303 — XLA's handling of the tiny axial sequences
-    beats both packing strategies at these shapes, so 'auto' is 'plain'.
-    'flash'/'packed' remain selectable for larger grids where the tradeoff
-    shifts.
+    Measured head-to-head on v5e (AViT-small, bf16, full train step):
+    at 32-token axial sequences (512^2 / patch 16) plain batched dot_general
+    wins (233.8 ms vs flash 256.5 vs XLA-packed 303); at 64-token sequences
+    (1024^2 / patch 16) the Pallas flash kernel wins (184.2 vs 193.7 ms) —
+    the packing relayout cost is amortized once the per-sequence matmuls
+    grow.  'auto' therefore picks flash on TPU for sequences >= 64 and plain
+    otherwise; both remain directly selectable.
     """
     if impl == "auto":
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu" and seq_len >= 64:
+            return "flash"
         return "plain"
     return impl
 
@@ -93,7 +98,7 @@ class TemporalAttentionBlock(nn.Module):
             if self.attn_scale
             else None
         )
-        impl = _resolve_attn_impl(self.attn_impl)
+        impl = _resolve_attn_impl(self.attn_impl, t)
         if impl in _PACKED_IMPLS:
             # (b, t, h, w, he, d) -> (he, b*h*w, t, d), pack tiny T-sequences
             # into MXU-sized super-sequences (see ops.packed_attention /
@@ -175,7 +180,7 @@ class AxialAttentionBlock(nn.Module):
             if self.attn_scale
             else None
         )
-        impl = _resolve_attn_impl(self.attn_impl)
+        impl = _resolve_attn_impl(self.attn_impl, max(h, w))
         if impl in _PACKED_IMPLS:
             def pack_rows(a):  # (b, h, w, he, d) -> (he, b*h, w, d)
                 return jnp.transpose(a, (3, 0, 1, 2, 4)).reshape(heads, b * h, w, d)

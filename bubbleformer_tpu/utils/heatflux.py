@@ -20,12 +20,21 @@ def _heater_mask(nx: int = 512, dx: float = 1.0 / 32.0, x_min: float = -8.0) -> 
     return (x_centers >= -5.0) & (x_centers <= 5.0)
 
 
-def heatflux(dfun: np.ndarray, temp: np.ndarray, heater_temp: float):
-    """Mean and max wall heat flux over time for (T, H, W) fields."""
-    dx = 1.0 / 32.0
+def heatflux(
+    dfun: np.ndarray,
+    temp: np.ndarray,
+    heater_temp: float,
+    dx: float = 1.0 / 32.0,
+    x_min: float = -8.0,
+):
+    """Mean and max wall heat flux over time for (T, H, W) fields.
+
+    Defaults reproduce the reference's hardcoded FC-72 512-grid geometry
+    (``heatflux.py:17-30``); pass ``dx``/``x_min`` for other domains.
+    """
     lc = 0.0007
     nx = dfun.shape[-1]
-    mask_row = _heater_mask(nx=nx, dx=dx)
+    mask_row = _heater_mask(nx=nx, dx=dx, x_min=x_min)
 
     heater_mask = np.broadcast_to(mask_row[None, None, :], dfun.shape)
     liquid_mask = dfun < 0
@@ -35,12 +44,17 @@ def heatflux(dfun: np.ndarray, temp: np.ndarray, heater_temp: float):
     return float(np.mean(hfluxes)), float(np.max(hfluxes))
 
 
-def heatflux_jax(dfun: jax.Array, temp: jax.Array, heater_temp: float):
+def heatflux_jax(
+    dfun: jax.Array,
+    temp: jax.Array,
+    heater_temp: float,
+    dx: float = 1.0 / 32.0,
+    x_min: float = -8.0,
+):
     """jnp version of :func:`heatflux` for on-device evaluation."""
-    dx = 1.0 / 32.0
     lc = 0.0007
     nx = dfun.shape[-1]
-    mask_row = jnp.asarray(_heater_mask(nx=nx, dx=dx))
+    mask_row = jnp.asarray(_heater_mask(nx=nx, dx=dx, x_min=x_min))
 
     heater_mask = jnp.broadcast_to(mask_row[None, None, :], dfun.shape)
     liquid_mask = dfun < 0

@@ -60,6 +60,11 @@ def heatflux_kl_divergence(
 
     sim_fluxes = np.asarray(sim_fluxes, dtype=np.float64)
     model_fluxes = np.asarray(model_fluxes, dtype=np.float64)
+    if np.std(sim_fluxes) < 1e-12 or np.std(model_fluxes) < 1e-12:
+        raise ValueError(
+            "heat-flux samples are (near-)constant — KDE is undefined; check "
+            "that the heater geometry (dx/x_min) matches the data domain"
+        )
     kde_sim = gaussian_kde(sim_fluxes)
     kde_model = gaussian_kde(model_fluxes)
 

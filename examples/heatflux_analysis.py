@@ -54,7 +54,13 @@ def main() -> None:
     model_fluxes = per_frame_fluxes(
         preds[:, args.sdf_index], preds[:, args.temp_index], args.heater_temp
     )
-    kl = heatflux_kl_divergence(sim_fluxes, model_fluxes)
+    try:
+        kl = heatflux_kl_divergence(sim_fluxes, model_fluxes)
+    except ValueError as e:
+        print(f"KL analysis not applicable: {e}")
+        print(f"sim  heat flux: mean {sim_fluxes.mean():.3f} max {sim_fluxes.max():.3f}")
+        print(f"model heat flux: mean {model_fluxes.mean():.3f} max {model_fluxes.max():.3f}")
+        return
 
     os.makedirs(args.out, exist_ok=True)
     from scipy.stats import gaussian_kde
