@@ -276,6 +276,13 @@ class Trainer:
                         self.wandb.log({"train_loss": loss, "learning_rate": lr})
 
             train_time = time.time() - epoch_start
+            if self.logger is not None and n_batches:
+                batch_size = int(np.asarray(first[0]).shape[0])
+                samples_per_sec = n_batches * batch_size / train_time
+                print(
+                    f"epoch {epoch}: {n_batches} steps in {train_time:.1f}s "
+                    f"({samples_per_sec:.1f} samples/s incl. input pipeline)"
+                )
             if self.wandb is not None:
                 self.wandb.log({"train_epoch_time": train_time, "epoch": epoch})
 
