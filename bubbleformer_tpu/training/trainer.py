@@ -106,9 +106,25 @@ class Trainer:
             try:
                 import wandb  # noqa: F401  (optional dependency)
 
+                # Key file convention and resume="auto" mirror the reference
+                # (train.py:178-196); both are optional.
+                key_path = os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "config",
+                    "wandb_api_key.txt",
+                )
+                if os.path.exists(key_path):
+                    with open(key_path, "r", encoding="utf-8") as f:
+                        wandb.login(key=f.read().strip())
+                wandb.init(
+                    project="bubbleformer_tpu",
+                    name=os.path.basename(os.path.abspath(log_dir)),
+                    dir=log_dir,
+                    resume="auto",
+                )
                 self.wandb = wandb
-            except ImportError:
-                print("wandb not installed; continuing with CSV logging only")
+            except Exception as e:  # noqa: BLE001 — wandb must never kill a run
+                print(f"wandb unavailable ({e}); continuing with CSV logging only")
 
         signal.signal(signal.SIGTERM, self._handle_preemption)
 
