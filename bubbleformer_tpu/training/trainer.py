@@ -67,6 +67,7 @@ class Trainer:
         plot_val_samples: bool = False,
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 15),
+        transfer_dtype: Optional[str] = None,
     ):
         self.module = module
         self.log_dir = log_dir
@@ -79,6 +80,9 @@ class Trainer:
         self.preempt_ckpt_path = preempt_ckpt_path or os.path.join(log_dir, "hpc_ckpt_1")
         self._preempted = False
         self.plot_val_samples = plot_val_samples
+        # Optional bf16 host->device transfer (halves batch bytes; the loss
+        # then sees bf16-quantized targets — off by default for exactness).
+        self.transfer_dtype = transfer_dtype
         # jax.profiler trace window (replaces the reference's coarse
         # wall-clock-only timing, SURVEY.md §5 tracing/profiling gap).
         self.profile_dir = profile_dir
@@ -144,9 +148,34 @@ class Trainer:
 
     # -- device placement ----------------------------------------------------
     def _put_batch(self, batch) -> Tuple[jax.Array, ...]:
-        return tuple(
-            jax.device_put(np.asarray(part), self._batch_sharding) for part in batch
-        )
+        parts = []
+        for part in batch:
+            arr = np.asarray(part)
+            if self.transfer_dtype is not None and arr.dtype == np.float32:
+                # Halve host->device bytes; the model computes in bf16 anyway.
+                import ml_dtypes
+
+                arr = arr.astype(ml_dtypes.bfloat16)
+            parts.append(jax.device_put(arr, self._batch_sharding))
+        return tuple(parts)
+
+    def _device_prefetch(self, iterable, limit: int):
+        """Yield device-resident batches one transfer ahead of consumption.
+
+        The host->device copy of batch i+1 is issued before batch i is
+        consumed, so the transfer overlaps the jitted step (the standard
+        flax prefetch pattern; essential when transfer latency is nontrivial).
+        """
+        pending = None
+        for i, batch in enumerate(iterable):
+            if i >= limit:
+                break
+            current = self._put_batch(batch)
+            if pending is not None:
+                yield pending
+            pending = current
+        if pending is not None:
+            yield pending
 
     def init_state(self, sample_batch) -> TrainState:
         rng = jax.random.key(self.seed)
@@ -246,12 +275,11 @@ class Trainer:
             epoch_start = time.time()
             n_batches = 0
             epoch_loss = 0.0
-            for i, batch in enumerate(train_loader):
-                if i >= self.limit_train_batches:
-                    break
+            for i, batch in enumerate(
+                self._device_prefetch(train_loader, self.limit_train_batches)
+            ):
                 if self.profile_dir and global_step == self.profile_steps[0]:
                     jax.profiler.start_trace(self.profile_dir)
-                batch = self._put_batch(batch)
                 state, metrics = self._train_step(state, batch, rng)
                 n_batches += 1
                 global_step += 1
@@ -306,10 +334,9 @@ class Trainer:
                 val_start = time.time()
                 val_losses = []
                 val_sample = None
-                for i, batch in enumerate(val_loader):
-                    if i >= self.limit_val_batches:
-                        break
-                    batch = self._put_batch(batch)
+                for i, batch in enumerate(
+                    self._device_prefetch(val_loader, self.limit_val_batches)
+                ):
                     metrics, pred = self._eval_step(state, batch)
                     val_losses.append(float(metrics["loss"]))
                     if i == 0:
