@@ -255,3 +255,15 @@ def test_preemption_checkpoint(tmp_path):
     from bubbleformer_tpu.training import next_preempt_ckpt_path
 
     assert next_preempt_ckpt_path(str(tmp_path), preempt_path).endswith("hpc_ckpt_2")
+
+
+def test_device_prefetch_order(tmp_path):
+    """The lookahead prefetch must preserve order and completeness."""
+    module = make_module()
+    trainer = Trainer(module, log_dir=str(tmp_path), mesh=small_mesh(2), async_checkpoint=False)
+    batches = [synthetic_batch(2, 2, 4, 16, 16, seed=i) for i in range(5)]
+    out = list(trainer._device_prefetch(batches, limit=3))
+    assert len(out) == 3
+    for got, want in zip(out, batches[:3]):
+        np.testing.assert_allclose(np.asarray(got[0]), want[0], atol=1e-6)
+    assert list(trainer._device_prefetch([], limit=3)) == []
