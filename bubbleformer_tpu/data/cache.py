@@ -11,6 +11,7 @@ out of the mapping with OpenMP.
 from __future__ import annotations
 
 import os
+import tempfile
 from typing import Dict, List, Optional, Sequence
 
 import h5py
@@ -30,16 +31,33 @@ def ensure_field_cache(
     path = cache_path(h5_path, field, cache_dir)
     if os.path.exists(path):
         return path
-    tmp = path + ".tmp"
-    with h5py.File(h5_path, "r") as f:
-        dset = f[field]
-        shape = dset.shape
-        out = np.lib.format.open_memmap(tmp, mode="w+", dtype=np.float32, shape=shape)
-        for t0 in range(0, shape[0], chunk):
-            out[t0 : t0 + chunk] = dset[t0 : t0 + chunk]
-        out.flush()
-        del out
-    os.replace(tmp, path)
+    # Unique temp name per writer: concurrent builders (multiple hosts on a
+    # shared filesystem, or train+eval jobs) must not share a tmp file, or
+    # one could os.replace a partially written cache into place.  Whoever
+    # renames first wins; the final path, once present, is authoritative.
+    fd, tmp = tempfile.mkstemp(
+        prefix=os.path.basename(path) + ".", suffix=".tmp", dir=os.path.dirname(path)
+    )
+    os.close(fd)
+    try:
+        with h5py.File(h5_path, "r") as f:
+            dset = f[field]
+            shape = dset.shape
+            out = np.lib.format.open_memmap(
+                tmp, mode="w+", dtype=np.float32, shape=shape
+            )
+            for t0 in range(0, shape[0], chunk):
+                out[t0 : t0 + chunk] = dset[t0 : t0 + chunk]
+            out.flush()
+            del out
+        if os.path.exists(path):
+            os.unlink(tmp)  # another writer finished first
+        else:
+            os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
     return path
 
 

@@ -91,14 +91,27 @@ class DataLoader:
         stop = threading.Event()
         self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
+        def put_checking_stop(item) -> bool:
+            # q.put with a timeout loop so a producer blocked on a full queue
+            # still observes `stop` when the consumer exits early (e.g. the
+            # trainer's limit_train_batches cutoff each epoch).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for batch_idx in batches:
                     if stop.is_set():
                         return
-                    q.put(self._collate(batch_idx))
+                    if not put_checking_stop(self._collate(batch_idx)):
+                        return
             finally:
-                q.put(None)
+                put_checking_stop(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -110,6 +123,12 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+            # Drain so a producer mid-put unblocks immediately.
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
             thread.join(timeout=5.0)
             self._pool.shutdown(wait=False)
 

@@ -58,17 +58,30 @@ def rollout_targets(dataset, start_idx: int, num_windows: int):
 
     Window ``k`` of the rollout predicts dataset item ``start_idx + k*tw``'s
     target slice (reference strides the dataset by ``time_window``,
-    ``inference.py:239``).
+    ``inference.py:239``).  All windows must come from the trajectory file
+    containing ``start_idx`` — an autoregressive forecast is one trajectory,
+    and striding across a file boundary would silently mix trajectories —
+    so the index is routed through the dataset's own locator and the stride
+    stops (with an error) at the boundary.
     """
     import numpy as np
 
     tw = dataset.time_window
+    file0, _ = dataset._locate(start_idx)
     targets = []
     timesteps = []
     for k in range(num_windows):
-        item = dataset[start_idx + k * tw]
+        idx = start_idx + k * tw
+        file_idx, local_start = dataset._locate(idx)
+        if file_idx != file0:
+            raise ValueError(
+                f"rollout window {k} (dataset index {idx}) crosses a trajectory-"
+                f"file boundary (file {file0} -> {file_idx}); shorten num_windows "
+                f"or move start_idx"
+            )
+        item = dataset[idx]
         targets.append(item[1])
-        t0 = dataset.start_time + start_idx + (k + 1) * tw
+        t0 = local_start + tw  # target slice starts tw after the input slice
         timesteps.append(np.arange(t0, t0 + tw))
     return np.concatenate(targets, axis=0), np.concatenate(timesteps, axis=0)
 

@@ -99,6 +99,15 @@ REMAT_POLICIES = {
 }
 
 
+def _block_body(remat: bool, remat_policy: str = "dots"):
+    """SpaceTimeBlock, optionally wrapped in per-block rematerialization."""
+    if not remat:
+        return SpaceTimeBlock
+    return nn.remat(
+        SpaceTimeBlock, prevent_cse=False, policy=REMAT_POLICIES.get(remat_policy)
+    )
+
+
 def _scanned_blocks(
     *,
     num_blocks: int,
@@ -108,11 +117,7 @@ def _scanned_blocks(
     **block_kwargs,
 ):
     """Build the scanned (optionally rematerialized) SpaceTimeBlock stack."""
-    body = SpaceTimeBlock
-    if remat:
-        body = nn.remat(
-            body, prevent_cse=False, policy=REMAT_POLICIES.get(remat_policy)
-        )
+    body = _block_body(remat, remat_policy)
     scanned = nn.scan(
         body,
         variable_axes={"params": 0},
@@ -129,8 +134,9 @@ class AViT(nn.Module):
     """Axial ViT for temporal bundling: (B, T, C_in, H, W) -> (B, T, C_out, H, W).
 
     Args mirror the reference constructor (``axial_vit.py:85-97``); ``remat``
-    and ``scan_blocks`` are TPU-build additions (both default True — flip
-    ``scan_blocks`` off to unroll the stack, e.g. for per-block inspection).
+    (default True) and ``scan_blocks`` (default False — measured slower on
+    v5e, see the field comment) are TPU-build additions.  ``remat`` applies
+    per-block on both the scanned and the unrolled paths.
     """
 
     input_fields: int = 3
@@ -203,10 +209,9 @@ class AViT(nn.Module):
                 **block_kwargs,
             )(x, dp_rates)
         else:
+            body = _block_body(self.remat, self.remat_policy)
             for i in range(self.processor_blocks):
-                x, _ = SpaceTimeBlock(name=f"block{i}", **block_kwargs)(
-                    x, dp_rates[i]
-                )
+                x, _ = body(name=f"block{i}", **block_kwargs)(x, dp_rates[i])
                 x = self._maybe_shard_spatial(x)
         return x
 
@@ -270,8 +275,9 @@ class FiLMAViT(AViT):
                 dtype=self.dtype,
             )
             x = self._maybe_shard_spatial(x)
+            body = _block_body(self.remat, self.remat_policy)
             for i in range(self.processor_blocks):
-                x, _ = SpaceTimeBlock(name=f"block{i}", **block_kwargs)(
+                x, _ = body(name=f"block{i}", **block_kwargs)(
                     x, jnp.float32(dp_rates[i])
                 )
                 x = FiLMMLP(

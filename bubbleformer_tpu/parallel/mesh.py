@@ -13,6 +13,8 @@ spans all processes' devices with the ``data`` axis laid out over ICI/DCN by
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -28,13 +30,31 @@ def initialize_distributed() -> None:
     Replaces the reference's SLURM/Lightning process-group plumbing
     (``train.py:14,23-33,166``): on TPU pods, ``jax.distributed.initialize``
     discovers coordinator/topology from the runtime environment.
+
+    Must run *before* any backend-touching JAX API (``jax.devices()``,
+    ``jax.process_count()``, jit dispatch, ...): once the local backend is
+    up, distributed init raises and every process would silently become its
+    own single-process world (all hosts leader, duplicated data shards,
+    clashing checkpoint writes).  Prior initialization is therefore detected
+    from ``jax.distributed``'s own client state, and the decision to
+    initialize comes from launcher environment variables — never from a
+    backend query.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        jax.distributed.initialize()
-    except (ValueError, RuntimeError):
-        pass  # single-process (CPU / one chip): nothing to do
+    if jax.distributed.is_initialized():
+        return  # distributed runtime already up
+    env = os.environ
+    multiprocess = (
+        "JAX_COORDINATOR_ADDRESS" in env
+        or "COORDINATOR_ADDRESS" in env
+        or int(env.get("JAX_NUM_PROCESSES", env.get("SLURM_NTASKS", "1") or "1")) > 1
+        # Multi-host TPU pod runtime (one process per host; plugins also set
+        # this on single-host setups, so only >1 hostname counts).
+        or len(env.get("TPU_WORKER_HOSTNAMES", "").split(",")) > 1
+        or "MEGASCALE_COORDINATOR_ADDRESS" in env  # multi-slice
+    )
+    if not multiprocess:
+        return  # single process: leave the backend alone
+    jax.distributed.initialize()  # raises loudly on misconfiguration
 
 
 def is_leader() -> bool:

@@ -145,3 +145,49 @@ def test_spatial_parallelism_matches_unsharded():
         params_1,
     )
     assert max(jax.tree.leaves(diffs)) < 2e-5
+
+
+def test_two_process_bootstrap():
+    """Real 2-process world on localhost: initialize_distributed must wire the
+    coordinator BEFORE backend init (emulated SLURM rank env — the launcher
+    the reference delegates to, ``reference/scripts/train.py:23-33,166``),
+    yield process_count()==2, correct leader gating, and a correct
+    cross-process collective sum."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_multihost_worker.py")
+    base = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith("SLURM") and k != "XLA_FLAGS"
+    }
+    base["PYTHONPATH"] = repo + os.pathsep + base.get("PYTHONPATH", "")
+    base.update(
+        SLURM_JOB_ID="4242",
+        SLURM_STEP_NODELIST="localhost",
+        SLURM_NTASKS="2",
+        SLURM_STEP_NUM_NODES="1",
+    )
+    procs = []
+    for rank in range(2):
+        env = dict(base, SLURM_PROCID=str(rank), SLURM_LOCALID=str(rank))
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker],
+                env=env,
+                cwd=repo,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert "psum=3.0 OK" in out, f"rank {rank} missing marker:\n{out}"
