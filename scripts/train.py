@@ -110,6 +110,7 @@ def main(argv=None) -> None:
     mesh_cfg = cfg.get("mesh_cfg", {"data": -1, "model": 1})
     mesh = make_mesh(data=mesh_cfg.get("data", -1), model=mesh_cfg.get("model", 1))
 
+    use_wandb = cfg.get("use_wandb", False)
     trainer = Trainer(
         module,
         log_dir=log_dir,
@@ -117,8 +118,17 @@ def main(argv=None) -> None:
         limit_train_batches=limit_train,
         limit_val_batches=cfg.get("limit_val_batches", 25),
         seed=cfg["seed"],
-        use_wandb=cfg.get("use_wandb", False),
+        use_wandb=use_wandb,
         preempt_ckpt_path=preempt_path,
+        # Observability knobs (reference logs val image panels every epoch
+        # when W&B is on, modules.py:197-253 — same default here).
+        plot_val_samples=(
+            use_wandb
+            if cfg.get("plot_val_samples") is None
+            else bool(cfg["plot_val_samples"])
+        ),
+        profile_dir=cfg.get("profile_dir") or None,
+        transfer_dtype=cfg.get("transfer_dtype") or None,
     )
 
     if is_leader():
