@@ -22,6 +22,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+# Persistent compilation cache: the full train step's XLA compile is minutes
+# through the remote-compile relay; cached executables bring reruns back to
+# seconds. Harmless when the cache dir is cold.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_bubbleformer"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np
 
 

@@ -26,26 +26,41 @@ from bubbleformer_tpu.layers.linear import GeluMLP
 from bubbleformer_tpu.layers.norm import InstanceNorm
 from bubbleformer_tpu.layers.positional import make_bias_module
 from bubbleformer_tpu.layers.stochastic import drop_path
-from bubbleformer_tpu.ops.attention import axis_attention, packed_attention
+from bubbleformer_tpu.ops.attention import (
+    axis_attention,
+    packed_attention,
+    unrolled_axis_attention,
+)
+from bubbleformer_tpu.ops.axial_fused import fused_axial_attention
 from bubbleformer_tpu.ops.axial_pallas import flash_packed_attention
 
 
-def _resolve_attn_impl(impl: str, seq_len: int) -> str:
-    """Resolve the 'auto' attention implementation, shape-aware.
+def _resolve_attn_impl(impl: str, seq_len: int, kind: str = "axial") -> str:
+    """Resolve the 'auto' attention implementation, shape- and kind-aware.
 
-    Measured head-to-head on v5e (AViT-small, bf16, full train step):
-    at 32-token axial sequences (512^2 / patch 16) plain batched dot_general
-    wins (233.8 ms vs flash 256.5 vs XLA-packed 303); at 64-token sequences
-    (1024^2 / patch 16) the Pallas flash kernel wins (184.2 vs 193.7 ms) —
-    the packing relayout cost is amortized once the per-sequence matmuls
-    grow.  'auto' therefore picks flash on TPU for sequences >= 64 and plain
-    otherwise; both remain directly selectable.
+    Measured on v5e (512^2/patch-16 flagship, 12-block stacks, fwd+bwd):
+
+    * temporal (T ~ 5): trace-time-``unrolled`` VPU multiply-reduces cut the
+      stack from 100.4 to 49.1 ms vs plain batched dot_general — tiny
+      sequences never touch the MXU and need no relayouts.
+    * axial (seq 32): the round-1 relayout-based kernels *lose* to plain
+      (flash 120.7 / packed 140.5 vs plain 92.3 ms); the natural-layout
+      ``fused`` row+column kernel (ops/axial_fused.py) replaces them.
+
+    'auto' resolves: temporal -> unrolled for seq <= 8, else plain off-TPU or
+    flash on TPU at seq >= 64; axial -> plain (the fused kernel currently
+    measures 119.9 ms vs plain's 92.3 for the axial stack — kept selectable
+    while its per-head slicing is optimized).  All impls remain directly
+    selectable and numerically identical (golden tests).
     """
     if impl == "auto":
         import jax as _jax
 
-        if _jax.default_backend() == "tpu" and seq_len >= 64:
-            return "flash"
+        on_tpu = _jax.default_backend() == "tpu"
+        if kind == "temporal":
+            if seq_len <= 8:
+                return "unrolled"
+            return "flash" if on_tpu and seq_len >= 64 else "plain"
         return "plain"
     return impl
 
@@ -98,7 +113,7 @@ class TemporalAttentionBlock(nn.Module):
             if self.attn_scale
             else None
         )
-        impl = _resolve_attn_impl(self.attn_impl, t)
+        impl = _resolve_attn_impl(self.attn_impl, t, kind="temporal")
         if impl in _PACKED_IMPLS:
             # (b, t, h, w, he, d) -> (he, b*h*w, t, d), pack tiny T-sequences
             # into MXU-sized super-sequences (see ops.packed_attention /
@@ -113,6 +128,11 @@ class TemporalAttentionBlock(nn.Module):
             )
             out = out.reshape(heads, b, h, w, t, d)
             out = jnp.transpose(out, (1, 4, 2, 3, 0, 5)).reshape(b, t, h, w, c)
+        elif impl == "unrolled":
+            # Trace-time-unrolled T^2 logit pairs: pure VPU multiply-reduces
+            # over the (b, h, w, heads) batch, output already in input layout.
+            out = unrolled_axis_attention(q, k, v, axis=1, bias=bias, scale_factor=scale)
+            out = out.reshape(b, t, h, w, c)
         else:
             # Attention over the T axis directly on the (b, t, h, w, heads, d)
             # layout — dot_general batches (b, h, w, heads) without relayouts.
@@ -180,8 +200,24 @@ class AxialAttentionBlock(nn.Module):
             if self.attn_scale
             else None
         )
+        bias_y = bias_mod(h, h) if bias_mod is not None else None
+        scale_y = (
+            self.param("attn_scale_factor_y", nn.initializers.ones, (heads,))
+            if self.attn_scale
+            else None
+        )
         impl = _resolve_attn_impl(self.attn_impl, max(h, w))
-        if impl in _PACKED_IMPLS:
+        if impl == "fused":
+            # One kernel launch computes rows AND columns from the natural
+            # layout and writes the averaged result (ops/axial_fused.py) —
+            # zero relayouts, shared q/k/v loads, VMEM-resident logits.
+            x = fused_axial_attention(
+                q, k, v, bias_x, bias_y, scale_x, scale_y
+            ).reshape(b, h, w, c)
+        elif impl == "unrolled":
+            xx = unrolled_axis_attention(q, k, v, axis=2, bias=bias_x, scale_factor=scale_x)
+            xx = xx.reshape(b, h, w, c)
+        elif impl in _PACKED_IMPLS:
             def pack_rows(a):  # (b, h, w, he, d) -> (he, b*h, w, d)
                 return jnp.transpose(a, (3, 0, 1, 2, 4)).reshape(heads, b * h, w, d)
 
@@ -196,14 +232,14 @@ class AxialAttentionBlock(nn.Module):
             # xx: (b, h, heads, w, d) -> (b, h, w, c)
             xx = jnp.transpose(xx, (0, 1, 3, 2, 4)).reshape(b, h, w, c)
 
-        # Column (y-direction) attention: sequence along H, (b, w, heads) batched.
-        bias_y = bias_mod(h, h) if bias_mod is not None else None
-        scale_y = (
-            self.param("attn_scale_factor_y", nn.initializers.ones, (heads,))
-            if self.attn_scale
-            else None
-        )
-        if impl in _PACKED_IMPLS:
+        # Column (y-direction) attention: sequence along H, (b, w, heads)
+        # batched (the fused path above already included columns).
+        if impl == "fused":
+            pass
+        elif impl == "unrolled":
+            xy = unrolled_axis_attention(q, k, v, axis=1, bias=bias_y, scale_factor=scale_y)
+            xy = xy.reshape(b, h, w, c)
+        elif impl in _PACKED_IMPLS:
             def pack_cols(a):  # (b, h, w, he, d) -> (he, b*w, h, d)
                 return jnp.transpose(a, (3, 0, 2, 1, 4)).reshape(heads, b * w, h, d)
 
@@ -218,7 +254,8 @@ class AxialAttentionBlock(nn.Module):
             # xy: (b, w, heads, h, d) -> (b, h, w, c)
             xy = jnp.transpose(xy, (0, 3, 1, 2, 4)).reshape(b, h, w, c)
 
-        x = (xx + xy) * 0.5
+        if impl != "fused":
+            x = (xx + xy) * 0.5
         x = InstanceNorm(self.embed_dim, name="norm2")(x)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="output_head")(x)
 

@@ -137,6 +137,57 @@ def packed_attention(
     return out
 
 
+def unrolled_axis_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    axis: int,
+    bias: jax.Array | None = None,
+    scale_factor: jax.Array | None = None,
+) -> jax.Array:
+    """Attention along one axis with the sequence fully unrolled at trace time.
+
+    For the tiny temporal sequences the axial factorization produces (n = T
+    ~ 5), batched (n x d)@(d x n) matmuls occupy a sliver of the 128x128 MXU
+    and dominate the step (measured ~7x roofline).  With n**2 trace-time
+    pairs, every logit becomes one fused multiply-reduce over the head dim —
+    pure VPU work over the huge batch, no relayouts, no MXU involvement, and
+    the output is produced directly in the input layout (sequence axis in
+    place) so the caller needs no transpose either.
+
+    Same contract as :func:`axis_attention`; intended for n <= ~8.
+    """
+    n = q.shape[axis]
+    d = q.shape[-1]
+    heads = q.shape[-2]
+    scaling = d**-0.5
+    f32 = jnp.float32
+
+    # logits[..., i, j, ...]: broadcast multiply + reduce over d — XLA fuses
+    # this into one loop over the huge batch; the (n, n) pair axes stay tiny
+    # trace-time-static dims (no batched matmul, no relayout).
+    qe = jnp.expand_dims(q, axis + 1).astype(f32)  # (..., n, 1, ..., heads, d)
+    ke = jnp.expand_dims(k, axis).astype(f32)      # (..., 1, n, ..., heads, d)
+    logits = jnp.sum(qe * ke, axis=-1) * scaling   # (..., n, n, ..., heads)
+    if bias is not None:
+        # (heads, n, n) -> broadcast to logits layout: pair axes at
+        # (axis, axis+1), heads last.
+        b = jnp.moveaxis(bias.astype(f32), 0, -1)  # (n, n, heads)
+        shape = [1] * logits.ndim
+        shape[axis], shape[axis + 1], shape[-1] = n, n, heads
+        logits = logits + b.reshape(shape)
+
+    p = jax.nn.softmax(logits, axis=axis + 1)
+    ve = jnp.expand_dims(v, axis)  # (..., 1, n, ..., heads, d)
+    out = jnp.sum(p[..., None].astype(v.dtype) * ve, axis=axis + 1)
+
+    if scale_factor is not None:
+        s = scale_factor.reshape((1,) * (q.ndim - 3) + (heads, 1)).astype(out.dtype)
+        v_mean = jnp.mean(v, axis=axis, keepdims=True)
+        out = s * out + (1.0 - s) * v_mean
+    return out
+
+
 def axis_attention(
     q: jax.Array,
     k: jax.Array,

@@ -1,0 +1,151 @@
+"""Fused row+column axial kernel and unrolled temporal attention: numerics
+vs the XLA reference (interpret mode on CPU; the compiled path is exercised
+by bench.py / scripts/ablate_block.py on TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bubbleformer_tpu.ops.attention import (
+    axis_attention,
+    scaled_axial_attention,
+    unrolled_axis_attention,
+)
+from bubbleformer_tpu.ops.axial_fused import fused_axial_attention
+
+
+def _rand(bt, h, w, heads, d, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    q, k, v = mk(bt, h, w, heads, d), mk(bt, h, w, heads, d), mk(bt, h, w, heads, d)
+    bx, by = mk(heads, w, w), mk(heads, h, h)
+    sx = jnp.asarray(rng.uniform(0.5, 1.5, heads).astype(np.float32))
+    sy = jnp.asarray(rng.uniform(0.5, 1.5, heads).astype(np.float32))
+    return q, k, v, bx, by, sx, sy
+
+
+def _axial_reference(q, k, v, bx, by, sx, sy):
+    """Rows (seq W) + columns (seq H) averaged, via scaled_axial_attention."""
+    qr, kr, vr = (jnp.transpose(a, (0, 1, 3, 2, 4)) for a in (q, k, v))
+    xx = scaled_axial_attention(qr, kr, vr, bias=bx, scale_factor=sx)
+    xx = jnp.transpose(xx, (0, 1, 3, 2, 4))
+    qc, kc, vc = (jnp.transpose(a, (0, 2, 3, 1, 4)) for a in (q, k, v))
+    xy = scaled_axial_attention(qc, kc, vc, bias=by, scale_factor=sy)
+    xy = jnp.transpose(xy, (0, 3, 1, 2, 4))
+    return 0.5 * (xx + xy)
+
+
+@pytest.mark.parametrize("bt,h,w", [(2, 16, 8), (1, 8, 8), (3, 8, 24)])
+def test_fused_forward_golden(bt, h, w):
+    q, k, v, bx, by, sx, sy = _rand(bt, h, w, 2, 8)
+    ref = _axial_reference(q, k, v, bx, by, sx, sy)
+    out = fused_axial_attention(q, k, v, bx, by, sx, sy, chunk_target=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
+
+
+def test_fused_no_bias_no_scale():
+    q, k, v, *_ = _rand(2, 8, 16, 3, 8, seed=3)
+    ref = _axial_reference(
+        q, k, v, None, None, jnp.ones((3,)), jnp.ones((3,))
+    )
+    out = fused_axial_attention(q, k, v, chunk_target=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
+
+
+def test_fused_gradients_golden():
+    args = _rand(2, 16, 8, 2, 8, seed=1)
+    cot = jnp.asarray(
+        np.random.default_rng(9).standard_normal((2, 16, 8, 2, 8)).astype(np.float32)
+    )
+
+    def loss_ref(*a):
+        return jnp.sum(_axial_reference(*a) * cot)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_axial_attention(*a, chunk_target=64, interpret=True) * cot)
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    g_fus = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    names = ["dq", "dk", "dv", "dbias_x", "dbias_y", "dscale_x", "dscale_y"]
+    for name, a, b in zip(names, g_ref, g_fus):
+        scale = max(float(jnp.abs(a).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-6, err_msg=name
+        )
+
+
+def test_fused_chunking_invariance():
+    """Different chunk sizes give identical results (pure packing change)."""
+    q, k, v, bx, by, sx, sy = _rand(1, 16, 16, 2, 8, seed=2)
+    a = fused_axial_attention(q, k, v, bx, by, sx, sy, chunk_target=32, interpret=True)
+    b = fused_axial_attention(q, k, v, bx, by, sx, sy, chunk_target=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5)
+
+
+# ------------------------------------------------------- unrolled temporal
+def test_unrolled_matches_axis_attention():
+    rng = np.random.default_rng(0)
+    b, t, h, w, heads, d = 2, 5, 4, 4, 3, 8
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    q, k, v = mk(b, t, h, w, heads, d), mk(b, t, h, w, heads, d), mk(b, t, h, w, heads, d)
+    bias = mk(heads, t, t)
+    s = jnp.asarray(rng.uniform(0.5, 1.5, heads).astype(np.float32))
+
+    ref = axis_attention(q, k, v, axis=1, bias=bias, scale_factor=s)
+    ref = jnp.transpose(ref, (0, 4, 1, 2, 3, 5))  # to input layout
+    out = unrolled_axis_attention(q, k, v, axis=1, bias=bias, scale_factor=s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    g1 = jax.grad(
+        lambda q: jnp.sum(axis_attention(q, k, v, axis=1, bias=bias, scale_factor=s) ** 2)
+    )(q)
+    g2 = jax.grad(
+        lambda q: jnp.sum(
+            unrolled_axis_attention(q, k, v, axis=1, bias=bias, scale_factor=s) ** 2
+        )
+    )(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_unrolled_no_bias():
+    rng = np.random.default_rng(4)
+    b, t, hw, heads, d = 2, 3, 6, 2, 4
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    q, k, v = mk(b, t, hw, heads, d), mk(b, t, hw, heads, d), mk(b, t, hw, heads, d)
+    ref = jnp.transpose(axis_attention(q, k, v, axis=1), (0, 3, 1, 2, 4))
+    out = unrolled_axis_attention(q, k, v, axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_model_attn_impls_agree():
+    """AxialAttentionBlock: fused == plain through the Flax module."""
+    from bubbleformer_tpu.layers.attention import AxialAttentionBlock
+
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 8, 8, 32)).astype(np.float32)
+    )
+    out = {}
+    for impl in ["plain", "fused"]:
+        blk = AxialAttentionBlock(embed_dim=32, num_heads=4, attn_impl=impl)
+        v = blk.init(jax.random.key(0), x)
+        out[impl] = blk.apply(v, x)
+    np.testing.assert_allclose(
+        np.asarray(out["fused"]), np.asarray(out["plain"]), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_model_temporal_unrolled_agrees():
+    """TemporalAttentionBlock: unrolled == plain through the Flax module."""
+    from bubbleformer_tpu.layers.attention import TemporalAttentionBlock
+
+    x = jnp.asarray(
+        np.random.default_rng(8).standard_normal((2, 5, 4, 4, 32)).astype(np.float32)
+    )
+    out = {}
+    for impl in ["plain", "unrolled"]:
+        blk = TemporalAttentionBlock(embed_dim=32, num_heads=4, attn_impl=impl)
+        v = blk.init(jax.random.key(0), x)
+        out[impl] = blk.apply(v, x)
+    np.testing.assert_allclose(
+        np.asarray(out["unrolled"]), np.asarray(out["plain"]), atol=1e-5, rtol=1e-5
+    )
