@@ -3,7 +3,10 @@
 AXON ?= /root/.axon_site
 PY   := PYTHONPATH=.:$(AXON) python3
 
-.PHONY: test bench demo train rollout samples
+.PHONY: test bench demo train rollout samples physics
+
+physics:
+	$(PY) scripts/physics_gate.py --out PHYSICS_r02.json
 
 test:
 	$(PY) -m pytest tests/ -x -q

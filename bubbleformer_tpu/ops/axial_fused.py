@@ -330,7 +330,7 @@ def fused_axial_attention(
     bias_y: jax.Array | None = None,
     scale_x: jax.Array | None = None,
     scale_y: jax.Array | None = None,
-    chunk_target: int = 128,
+    chunk_target: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Fused row+column axial attention on ``(BT, H, W, heads, d)`` q/k/v.
@@ -340,6 +340,10 @@ def fused_axial_attention(
     ``bias_y``/``scale_y``): ``0.5 * (attn_rows + attn_cols)``.
     """
     bt, h, w, heads, d = q.shape
+    if chunk_target is None:
+        import os
+
+        chunk_target = int(os.environ.get("BUBBLEFORMER_FUSED_CHUNK", "128"))
     gr = _chunk_windows(h, w, chunk_target)
     wc = _chunk_windows(w, h, chunk_target)
     if interpret is None:

@@ -58,14 +58,14 @@ def bubble_trajectory(frames: int, size: int, seed: int):
     return {"dfun": dfun, "temperature": temp, "velx": velx, "vely": vely}
 
 
-def main() -> None:
+def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="samples")
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
     for i in range(args.n):

@@ -1,0 +1,171 @@
+#!/usr/bin/env python3
+"""End-to-end physics gate: train -> rollout -> physics metrics -> tolerances.
+
+Replaces the reference's manual notebook workflow
+(``scripts/inference_autoregressive.ipynb`` cells 8-10: rollout + eikonal
+residual + field errors) with one asserted command.  Trains an AViT-tiny on
+synthetic boiling-shaped trajectories, rolls out ``--windows`` windows with
+the on-device ``lax.scan``, computes the physics metrics the reference
+defines (eikonal residual of the SDF field, ``utils/losses.py:5-15``;
+vapor-fraction/mass drift; per-window relative L2), asserts recorded
+tolerances and writes the numbers to ``PHYSICS_r{N}.json``.
+
+    python scripts/physics_gate.py --out PHYSICS_r02.json
+    make physics
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+# Tolerances: generous bounds that catch pipeline breakage (NaNs, divergence,
+# field mixups) rather than model quality — the gate trains a tiny model for
+# a few minutes on synthetic data.  Measured round-2 values: rollout rel-L2
+# ~1.05, eikonal ~55 (synthetic SDF has dx-scale mismatch with the FC-72
+# constant, so the residual is large but stable), drift ~0.1.
+TOLERANCES = {
+    "rollout_rel_l2_max": 1.5,       # untrained-model level is ~1.06
+    "eikonal_residual_max": 200.0,   # explodes (1e3+) on divergence
+    "vapor_fraction_drift_max": 0.5,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="PHYSICS_r02.json")
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--windows", type=int, default=10)
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix="physics_gate_")
+    samples_dir = os.path.join(workdir, "samples")
+
+    # 1. Synthetic boiling-shaped trajectories (same generator the demo uses).
+    from scripts.make_sample_data import main as make_samples_main  # noqa: E402
+
+    make_samples_main(["--out", samples_dir, "--n", "2", "--frames", "80"])
+
+    # 2. Train avit_tiny for a couple of epochs via the real CLI path.
+    os.environ["BUBBLEML_SAMPLES"] = samples_dir
+    from scripts.train import main as train_main  # noqa: E402
+
+    log_dir = os.path.join(workdir, "logs")
+    train_main([
+        "data_cfg=samples_smoke",
+        "model_cfg=avit_tiny",
+        "optim_cfg=adamw",
+        f"max_epochs={args.epochs}",
+        "batch_size=4",
+        "limit_train_batches=20",
+        "limit_val_batches=2",
+        f"log_dir={log_dir}",
+        "use_wandb=false",
+    ])
+
+    # 3. Rollout on the held-out trajectory, fully on device.
+    import jax.numpy as jnp
+
+    from bubbleformer_tpu.config import load_config
+    from bubbleformer_tpu.data import BubbleForecast
+    from bubbleformer_tpu.inference import make_rollout_fn, rollout_targets
+    from bubbleformer_tpu.training import ForecastModule
+    from bubbleformer_tpu.training.checkpoint import CheckpointManager
+    from bubbleformer_tpu.utils.losses import LpLoss
+    from bubbleformer_tpu.utils.metrics import (
+        eikonal_residual_per_step,
+        mass_conservation_drift,
+    )
+
+    cfg = load_config(["model_cfg=avit_tiny", "data_cfg=samples_smoke"])
+    data_cfg = dict(cfg["data_cfg"])
+    dataset = BubbleForecast(
+        filenames=[os.path.join(samples_dir, "sample_2.hdf5")],
+        input_fields=data_cfg["input_fields"],
+        output_fields=data_cfg["output_fields"],
+        norm=data_cfg["normalize"],
+        downsample_factor=data_cfg["downsample_factor"],
+        time_window=data_cfg["time_window"],
+        start_time=5,
+        return_fluid_params=False,
+    )
+    dataset.normalize()
+    tw = dataset.time_window
+
+    module = ForecastModule(
+        model_cfg=cfg["model_cfg"],
+        data_cfg=data_cfg,
+        optim_cfg=cfg["optim_cfg"],
+        scheduler_cfg=cfg["scheduler_cfg"],
+        total_steps=1,
+        normalization_constants=(dataset.diff_terms, dataset.div_terms),
+    )
+    inp, _ = dataset[0]
+    init = jnp.asarray(np.asarray(inp))[None]
+    variables = module.model.init(
+        {"params": __import__("jax").random.key(0)}, init
+    )
+    ckpt_dir = os.path.join(log_dir, "avit_samples_smoke_local", "last")
+    params, _ = CheckpointManager(use_async=False).restore_params(
+        ckpt_dir, variables["params"], None
+    )
+
+    rollout = make_rollout_fn(module.model, args.windows, conditioned=False)
+    preds = np.asarray(rollout({"params": params}, init))  # (W, 1, T, C, H, W)
+    preds = preds[:, 0]
+
+    targets, _ = rollout_targets(dataset, 0, args.windows)
+    targets = np.asarray(targets)
+
+    # 4. Physics metrics (reference formulas).
+    lp = LpLoss(d=2, p=2, reduce_dims=[0, 1], reductions=["mean", "mean"])
+    rel_l2 = [
+        float(lp(jnp.asarray(preds[i]), jnp.asarray(targets[i])))
+        for i in range(args.windows)
+    ]
+    dfun_idx = data_cfg["output_fields"].index("dfun")
+    flat_pred = preds.reshape(-1, *preds.shape[2:])  # (W*T, C, H, W)
+    eik = np.asarray(eikonal_residual_per_step(jnp.asarray(flat_pred[:, dfun_idx])))
+    flat_tgt = targets.reshape(-1, *targets.shape[2:])
+    drift = float(
+        mass_conservation_drift(
+            jnp.asarray(flat_pred[:, dfun_idx]), jnp.asarray(flat_tgt[:, dfun_idx])
+        )
+    )
+
+    metrics = {
+        "rollout_rel_l2_per_window": [round(v, 4) for v in rel_l2],
+        "rollout_rel_l2_final": round(rel_l2[-1], 4),
+        "eikonal_residual_mean": round(float(eik.mean()), 4),
+        "vapor_fraction_drift": round(drift, 5),
+        "windows": args.windows,
+        "time_window": tw,
+        "tolerances": TOLERANCES,
+    }
+
+    failures = []
+    if max(rel_l2) > TOLERANCES["rollout_rel_l2_max"]:
+        failures.append(f"rel_l2 {max(rel_l2):.3f} > {TOLERANCES['rollout_rel_l2_max']}")
+    if not np.isfinite(eik).all() or eik.mean() > TOLERANCES["eikonal_residual_max"]:
+        failures.append(f"eikonal {eik.mean():.1f} > {TOLERANCES['eikonal_residual_max']}")
+    if not np.isfinite(drift) or abs(drift) > TOLERANCES["vapor_fraction_drift_max"]:
+        failures.append(f"drift {drift:.3f} > {TOLERANCES['vapor_fraction_drift_max']}")
+    metrics["ok"] = not failures
+    metrics["failures"] = failures
+
+    with open(args.out, "w") as f:
+        json.dump(metrics, f, indent=1)
+    print(json.dumps(metrics))
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -191,3 +191,38 @@ def test_two_process_bootstrap():
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
         assert "psum=3.0 OK" in out, f"rank {rank} missing marker:\n{out}"
+
+
+def test_spatial_parallelism_wide_grid():
+    """SP numerics on a flow-boiling-shaped non-square grid (SURVEY §2.3).
+
+    Wide channels are SP's actual payoff: here 256x32 px / patch 4 -> a
+    64x8 token grid, rows sharded 4-way over 'spatial' (mesh 2x1x4), which
+    must match single-device training bit-for-bit within tolerance.
+    """
+    batch = synthetic_batch(2, 2, 4, 256, 32)
+    mesh = make_mesh(data=2, model=1, spatial=4)
+
+    sp_model_cfg = {
+        "name": "avit",
+        "params": dict(MODEL["params"], spatial_shard_axis="spatial"),
+    }
+    module_sp = ForecastModule(
+        model_cfg=sp_model_cfg, data_cfg=DATA, optim_cfg=OPTIM,
+        scheduler_cfg=SCHED, total_steps=10,
+    )
+    trainer_sp = Trainer(
+        module_sp, log_dir="/tmp/sp_wide_logs", mesh=mesh, async_checkpoint=False
+    )
+    state_sp = trainer_sp.init_state(batch)
+    b = trainer_sp._put_batch(batch)
+    rng = jax.random.key(0)
+    losses_sp = []
+    for _ in range(3):
+        state_sp, m = trainer_sp._train_step(state_sp, b, rng)
+        losses_sp.append(float(m["loss"]))
+
+    losses_1, params_1 = _train_n_steps(
+        make_mesh(data=1, model=1, devices=jax.devices()[:1]), batch
+    )
+    np.testing.assert_allclose(losses_sp, losses_1, rtol=2e-4, atol=1e-5)

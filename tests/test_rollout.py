@@ -79,3 +79,33 @@ def test_rollout_targets_alignment(tmp_path):
         timesteps, np.arange(start_time + tw, start_time + 4 * tw)
     )
     np.testing.assert_allclose(targets[:, 0, 0, 0], timesteps.astype(np.float32))
+
+
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.slow
+def test_physics_gate_end_to_end(tmp_path):
+    """The full train->rollout->physics-metrics gate passes its tolerances.
+
+    Counterpart of the reference's notebook eval loop
+    (scripts/inference_autoregressive.ipynb cells 8-10), asserted.
+    Run explicitly: pytest -m slow tests/test_rollout.py
+    """
+    out = tmp_path / "physics.json"
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys; sys.path.insert(0, '.')\n"
+        f"sys.argv = ['physics_gate', '--out', r'{out}', '--epochs', '1', '--windows', '5']\n"
+        "from scripts.physics_gate import main\n"
+        "main()\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    import json
+
+    metrics = json.loads(out.read_text())
+    assert metrics["ok"], metrics["failures"]
