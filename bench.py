@@ -116,14 +116,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--height", type=int, default=None, help="defaults to --size")
+    ap.add_argument("--width", type=int, default=None, help="defaults to --size")
     ap.add_argument("--time-window", type=int, default=5)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--model-cfg", default="film_avit_small")
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--attn-impl", default="auto", choices=["auto", "flash", "packed", "plain"])
+    ap.add_argument("--attn-impl", default="auto", choices=["auto", "flash", "packed", "plain", "unrolled", "fused"])
     ap.add_argument("--scan-blocks", action="store_true")
+    ap.add_argument("--no-remat", action="store_true", help="save all activations (op-count win, more HBM)")
     ap.add_argument("--no-rollout", action="store_true", help="skip the rollout fps metric")
     args = ap.parse_args()
+    args.height = args.height or args.size
+    args.width = args.width or args.size
 
     from bubbleformer_tpu.config import load_config
     from bubbleformer_tpu.data import synthetic_batch
@@ -138,6 +143,8 @@ def main() -> None:
     cfg["model_cfg"]["params"]["attn_impl"] = args.attn_impl
     if args.scan_blocks:
         cfg["model_cfg"]["params"]["scan_blocks"] = True
+    if args.no_remat:
+        cfg["model_cfg"]["params"]["remat"] = False
     conditioned = cfg["model_cfg"]["name"] == "filmavit"
     data_cfg = {
         "input_fields": ["dfun", "temperature", "velx", "vely"],
@@ -156,12 +163,12 @@ def main() -> None:
 
     n_fluid = cfg["model_cfg"]["params"].get("num_fluid_params") if conditioned else None
     batch = synthetic_batch(
-        args.batch, args.time_window, 4, args.size, args.size, num_fluid_params=n_fluid
+        args.batch, args.time_window, 4, args.height, args.width, num_fluid_params=n_fluid
     )
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind}, model: {args.model_cfg}, "
-        f"batch {args.batch} x {args.time_window}x4x{args.size}x{args.size}, {args.dtype}")
+        f"batch {args.batch} x {args.time_window}x4x{args.height}x{args.width}, {args.dtype}")
 
     mesh = make_mesh(data=1, model=1, devices=[dev])
     trainer = Trainer(module, log_dir="/tmp/bench_logs", mesh=mesh, async_checkpoint=False)
@@ -199,8 +206,8 @@ def main() -> None:
         args.batch,
         args.time_window,
         4,
-        args.size,
-        args.size,
+        args.height,
+        args.width,
         mp["embed_dim"],
         mp["patch_size"],
         mp["processor_blocks"],
@@ -279,7 +286,9 @@ def main() -> None:
             vs_baseline = samples_per_sec / baseline
 
     result = {
-        "metric": f"{args.model_cfg}_{args.size}px_tw{args.time_window}_train_throughput",
+        "metric": f"{args.model_cfg}_{args.height}x{args.width}px_tw{args.time_window}_train_throughput"
+        if args.height != args.width
+        else f"{args.model_cfg}_{args.size}px_tw{args.time_window}_train_throughput",
         "value": round(samples_per_sec, 3),
         "unit": "samples/s/chip",
         "vs_baseline": round(vs_baseline, 3),

