@@ -126,6 +126,12 @@ def main() -> None:
     ap.add_argument("--scan-blocks", action="store_true")
     ap.add_argument("--no-remat", action="store_true", help="save all activations (op-count win, more HBM)")
     ap.add_argument("--no-rollout", action="store_true", help="skip the rollout fps metric")
+    ap.add_argument(
+        "--per-call-only",
+        action="store_true",
+        help="skip the scanned device-only loop (large scan programs exceed "
+        "the remote-compile relay's request size limit); report per-call timing",
+    )
     args = ap.parse_args()
     args.height = args.height or args.size
     args.width = args.width or args.size
@@ -231,22 +237,25 @@ def main() -> None:
     dt = (time.time() - t0) / args.steps
 
     # Device-only loop: scan the train step on device (no dispatch overhead).
-    train_step = module.make_train_step()
+    if args.per_call_only:
+        dt_scan = dt
+    else:
+        train_step = module.make_train_step()
 
-    def scan_steps(state, b, rng, n):
-        def body(s, _):
-            s2, mtr = train_step(s, b, rng)
-            return s2, mtr["loss"]
-        return jax.lax.scan(body, state, None, length=n)
+        def scan_steps(state, b, rng, n):
+            def body(s, _):
+                s2, mtr = train_step(s, b, rng)
+                return s2, mtr["loss"]
+            return jax.lax.scan(body, state, None, length=n)
 
-    n_scan = args.steps
-    scan_fn = jax.jit(lambda s: scan_steps(s, b, rng, n_scan), donate_argnums=0)
-    state, losses = scan_fn(state)
-    _ = float(losses[-1])
-    t0 = time.time()
-    state, losses = scan_fn(state)
-    _ = float(losses[-1])
-    dt_scan = (time.time() - t0) / n_scan
+        n_scan = args.steps
+        scan_fn = jax.jit(lambda s: scan_steps(s, b, rng, n_scan), donate_argnums=0)
+        state, losses = scan_fn(state)
+        _ = float(losses[-1])
+        t0 = time.time()
+        state, losses = scan_fn(state)
+        _ = float(losses[-1])
+        dt_scan = (time.time() - t0) / n_scan
 
     samples_per_sec = args.batch / dt_scan
     mfu = step_flops / dt_scan / peak_flops_for(dev)

@@ -23,10 +23,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 POINTS = [
     ("headline_film_avit_small_512_b4", ["--batch", "4", "--size", "512", "--no-rollout"]),
     ("film_avit_small_512_b2", ["--batch", "2", "--size", "512", "--no-rollout"]),
-    ("film_avit_small_512_b8_scan", ["--batch", "8", "--size", "512", "--scan-blocks", "--no-rollout"]),
-    ("film_avit_small_1024_b2_scan", ["--batch", "2", "--size", "1024", "--scan-blocks", "--no-rollout"]),
-    ("avit_big_512_b4", ["--batch", "4", "--size", "512", "--model-cfg", "avit_big", "--no-rollout"]),
-    ("wide_flowboiling_2048x512_b2", ["--batch", "2", "--height", "512", "--width", "2048", "--no-rollout"]),
+    # scan-blocks configs: the scanned-timing program exceeds the
+    # remote-compile relay's request-size limit, so these report per-call
+    # timing (a conservative upper bound on step time).
+    ("film_avit_small_512_b8_scan", ["--batch", "8", "--size", "512", "--scan-blocks", "--no-rollout", "--per-call-only"]),
+    ("film_avit_small_1024_b2_scan", ["--batch", "2", "--size", "1024", "--scan-blocks", "--no-rollout", "--per-call-only"]),
+    # avit_big at batch 4 OOMs on the 6-D qkv padding (recorded in the
+    # artifact); batch 2 fits.
+    ("avit_big_512_b2", ["--batch", "2", "--size", "512", "--model-cfg", "avit_big", "--no-rollout"]),
+    ("wide_flowboiling_2048x512_b1", ["--batch", "1", "--height", "512", "--width", "2048", "--no-rollout"]),
 ]
 
 

@@ -18,6 +18,13 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# Persistent compilation cache (full-step XLA compiles are minutes through
+# remote-compile relays; cached executables rerun in seconds).
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_bubbleformer")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp
 import numpy as np
 
