@@ -53,6 +53,94 @@ def make_rollout_fn(model, num_windows: int, conditioned: bool = False):
     return rollout
 
 
+def make_rollout_metrics_fn(
+    model,
+    num_windows: int,
+    dfun_index: Optional[int] = None,
+    dx: float = 1.0 / 32.0,
+    conditioned: bool = False,
+    keep_preds: bool = False,
+):
+    """Rollout with physics metrics computed *inside* the scan.
+
+    The post-hoc evaluation path (reference
+    ``scripts/inference_autoregressive.ipynb`` cells 8-10; our
+    ``scripts/inference.py``) stacks the full ``(num_windows, B, T, C, H, W)``
+    prediction tensor just to reduce it to per-step scalars — at 512^2 a
+    100-window batch-4 forecast stacks ~2 GB of HBM for KB of metrics.  Here
+    each window's metrics are emitted as scan outputs and the predictions are
+    discarded from the carry (unless ``keep_preds``), so rollout length no
+    longer costs prediction-stack memory.
+
+    Returns ``fn(variables, init_window, targets=None[, cond]) -> dict`` with:
+
+    * ``rel_l2``: ``(num_windows, T, C)`` batch-mean relative L2 per predicted
+      frame and field (only when ``targets`` — shaped
+      ``(num_windows, B, T, C, H, W)`` — is given),
+    * ``eikonal``: ``(num_windows, T)`` eikonal SDF residual of the ``dfun``
+      channel (only when ``dfun_index`` is set),
+    * ``vapor_fraction``: ``(num_windows, T)`` vapor area fraction,
+    * ``vapor_drift``: ``(num_windows, T)`` |pred - target| vapor fraction
+      (needs both ``dfun_index`` and ``targets``),
+    * ``final_window``: the last predicted window (the carry), and
+    * ``preds``: the full stacked rollout iff ``keep_preds=True``.
+
+    All metrics match the post-hoc ``utils.metrics`` functions exactly
+    (tested); ``targets`` presence is a trace-time property.
+    """
+    from bubbleformer_tpu.utils.losses import eikonal_loss
+
+    def _window_metrics(pred, target):
+        ys = {}
+        if target is not None:
+            diff = jnp.sqrt(
+                jnp.sum((pred - target).astype(jnp.float32) ** 2, axis=(-2, -1))
+            )
+            norm = jnp.sqrt(jnp.sum(target.astype(jnp.float32) ** 2, axis=(-2, -1)))
+            ys["rel_l2"] = jnp.mean(diff / norm, axis=0)  # (T, C)
+        if dfun_index is not None:
+            phi = pred[:, :, dfun_index]  # (B, T, H, W)
+            eik = jax.vmap(jax.vmap(lambda p: eikonal_loss(p, dx=dx)))(phi)
+            ys["eikonal"] = jnp.mean(eik, axis=0)  # (T,)
+            vf = jnp.mean((phi > 0).astype(jnp.float32), axis=(-2, -1))  # (B, T)
+            ys["vapor_fraction"] = jnp.mean(vf, axis=0)
+            if target is not None:
+                vft = jnp.mean(
+                    (target[:, :, dfun_index] > 0).astype(jnp.float32), axis=(-2, -1)
+                )
+                ys["vapor_drift"] = jnp.mean(jnp.abs(vf - vft), axis=0)
+        return ys
+
+    @jax.jit
+    def rollout(variables, init_window, targets=None, cond=None):
+        if targets is not None and targets.shape[0] != num_windows:
+            raise ValueError(
+                f"targets leading dim {targets.shape[0]} != num_windows {num_windows}"
+            )
+
+        def step(window, xs):
+            if conditioned:
+                pred = model.apply(variables, window, cond, train=False)
+            else:
+                pred = model.apply(variables, window, train=False)
+            pred = pred.astype(window.dtype)
+            ys = _window_metrics(pred, xs)
+            if keep_preds:
+                ys = dict(ys, preds=pred)
+            return pred, ys
+
+        last, ys = jax.lax.scan(
+            step,
+            init_window,
+            targets,
+            length=num_windows if targets is None else None,
+        )
+        ys["final_window"] = last
+        return ys
+
+    return rollout
+
+
 def rollout_targets(dataset, start_idx: int, num_windows: int):
     """Stack the ground-truth windows aligned with a rollout (host-side).
 

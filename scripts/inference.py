@@ -52,6 +52,13 @@ def main() -> None:
     ap.add_argument("--start-time", type=int, default=100)
     ap.add_argument("--save-dir", default="rollout_out")
     ap.add_argument("--plot", action="store_true")
+    ap.add_argument(
+        "--in-scan-metrics",
+        action="store_true",
+        help="compute physics metrics inside the rollout scan instead of "
+        "stacking all predictions in HBM — use for long forecasts (saves "
+        "num_windows x window bytes of device memory; no predictions.npz)",
+    )
     args = ap.parse_args()
 
     cfg = load_config([f"model_cfg={args.model_cfg}", f"data_cfg={args.data_cfg}"])
@@ -103,8 +110,49 @@ def main() -> None:
     if target_state.batch_stats is not None:
         variables["batch_stats"] = target_state.batch_stats
 
-    rollout = make_rollout_fn(module.model, num_windows, conditioned=conditioned)
+    sdf_idx = (
+        data_cfg["output_fields"].index("dfun")
+        if "dfun" in data_cfg["output_fields"]
+        else None
+    )
     init_window = jnp.asarray(batch[0])
+    targets, timesteps = rollout_targets(dataset, 0, num_windows)
+
+    if args.in_scan_metrics:
+        from bubbleformer_tpu.inference import make_rollout_metrics_fn
+
+        fn = make_rollout_metrics_fn(
+            module.model, num_windows, dfun_index=sdf_idx, conditioned=conditioned
+        )
+        # (num_windows * tw, C, H, W) -> (num_windows, 1, tw, C, H, W)
+        tgt = jnp.asarray(targets).reshape(num_windows, tw, *targets.shape[1:])[:, None]
+        if conditioned:
+            out = fn(variables, init_window, tgt, jnp.asarray(batch[2]))
+        else:
+            out = fn(variables, init_window, tgt)
+        for k in range(num_windows):
+            print(f"window {k}: relative L2 = {float(out['rel_l2'][k].mean()):.4f}")
+        if sdf_idx is not None:
+            print(
+                "eikonal residual (mean over rollout): "
+                f"{float(out['eikonal'].mean()):.4f}"
+            )
+            print(f"vapor-fraction drift: {float(out['vapor_drift'].mean()):.5f}")
+        os.makedirs(args.save_dir, exist_ok=True)
+        np.savez(
+            os.path.join(args.save_dir, "metrics.npz"),
+            final_window=np.asarray(out["final_window"]),
+            timesteps=timesteps,
+            **{
+                k: np.asarray(v)
+                for k, v in out.items()
+                if k != "final_window"
+            },
+        )
+        print(f"saved rollout metrics to {args.save_dir}")
+        return
+
+    rollout = make_rollout_fn(module.model, num_windows, conditioned=conditioned)
     if conditioned:
         preds = rollout(variables, init_window, jnp.asarray(batch[2]))
     else:
@@ -112,19 +160,12 @@ def main() -> None:
     # (num_windows, 1, T, C, H, W) -> (num_windows*T, C, H, W)
     preds = np.asarray(preds)[:, 0].reshape(-1, *preds.shape[3:])
 
-    targets, timesteps = rollout_targets(dataset, 0, num_windows)
-
     criterion = LpLoss(d=2, p=2, reduce_dims=[0, 1], reductions=["mean", "mean"])
     for k in range(num_windows):
         sl = slice(k * tw, (k + 1) * tw)
         err = float(criterion(jnp.asarray(preds[sl]), jnp.asarray(targets[sl])))
         print(f"window {k}: relative L2 = {err:.4f}")
 
-    sdf_idx = (
-        data_cfg["output_fields"].index("dfun")
-        if "dfun" in data_cfg["output_fields"]
-        else None
-    )
     if sdf_idx is not None:
         eik = eikonal_residual_per_step(jnp.asarray(preds[:, sdf_idx]))
         drift = mass_conservation_drift(

@@ -81,6 +81,71 @@ def test_rollout_targets_alignment(tmp_path):
     np.testing.assert_allclose(targets[:, 0, 0, 0], timesteps.astype(np.float32))
 
 
+def test_in_scan_metrics_match_post_hoc():
+    """make_rollout_metrics_fn (metrics inside the scan, no prediction stack)
+    must equal the post-hoc utils.metrics evaluation of make_rollout_fn."""
+    from bubbleformer_tpu.inference import make_rollout_metrics_fn
+    from bubbleformer_tpu.utils.metrics import (
+        eikonal_residual_per_step,
+        relative_l2_per_field,
+        vapor_fraction,
+    )
+
+    model = get_model("avit", **TINY)
+    x0 = jax.random.normal(jax.random.key(0), (2, 2, 4, 16, 16))
+    v = model.init({"params": jax.random.key(1)}, x0)
+    nw, dfun_idx, dx = 3, 0, 1.0 / 16.0
+
+    preds = np.asarray(make_rollout_fn(model, nw)(v, x0))
+    targets = jax.random.normal(jax.random.key(2), preds.shape)
+
+    fn = make_rollout_metrics_fn(model, nw, dfun_index=dfun_idx, dx=dx, keep_preds=True)
+    out = fn(v, x0, jnp.asarray(targets))
+
+    np.testing.assert_allclose(np.asarray(out["preds"]), preds, atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["final_window"]), preds[-1], atol=1e-5, rtol=1e-4)
+
+    for k in range(nw):
+        # rel_l2: batch-mean of the per-sample (T, C) relative L2.
+        ref_rel = np.mean(
+            [np.asarray(relative_l2_per_field(preds[k, b], targets[k, b])) for b in range(2)],
+            axis=0,
+        )
+        np.testing.assert_allclose(np.asarray(out["rel_l2"][k]), ref_rel, atol=1e-5, rtol=1e-4)
+        ref_eik = np.mean(
+            [
+                np.asarray(eikonal_residual_per_step(preds[k, b, :, dfun_idx], dx=dx))
+                for b in range(2)
+            ],
+            axis=0,
+        )
+        np.testing.assert_allclose(np.asarray(out["eikonal"][k]), ref_eik, atol=1e-5, rtol=1e-4)
+        ref_vf = np.mean(
+            [np.asarray(vapor_fraction(preds[k, b, :, dfun_idx])) for b in range(2)], axis=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["vapor_fraction"][k]), ref_vf, atol=1e-6, rtol=1e-5
+        )
+        ref_drift = np.mean(
+            np.abs(
+                np.asarray(vapor_fraction(jnp.asarray(preds[k][:, :, dfun_idx])))
+                - np.asarray(vapor_fraction(jnp.asarray(targets[k][:, :, dfun_idx])))
+            ),
+            axis=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["vapor_drift"][k]), ref_drift, atol=1e-6, rtol=1e-5
+        )
+
+    # Without targets and without keep_preds: only dfun metrics, no stack.
+    fn2 = make_rollout_metrics_fn(model, nw, dfun_index=dfun_idx, dx=dx)
+    out2 = fn2(v, x0)
+    assert set(out2) == {"eikonal", "vapor_fraction", "final_window"}
+    np.testing.assert_allclose(
+        np.asarray(out2["eikonal"]), np.asarray(out["eikonal"]), atol=1e-6, rtol=1e-5
+    )
+
+
 import subprocess
 import sys
 
