@@ -32,6 +32,7 @@ from bubbleformer_tpu.ops.attention import (
     unrolled_axis_attention,
 )
 from bubbleformer_tpu.ops.axial_fused import fused_axial_attention
+from bubbleformer_tpu.ops.axial_fused_packed import fused_axial_attention_packed
 from bubbleformer_tpu.ops.axial_pallas import flash_packed_attention
 
 
@@ -207,13 +208,19 @@ class AxialAttentionBlock(nn.Module):
             else None
         )
         impl = _resolve_attn_impl(self.attn_impl, max(h, w))
-        if impl == "fused":
+        if impl in ("fused", "fused_packed"):
             # One kernel launch computes rows AND columns from the natural
             # layout and writes the averaged result (ops/axial_fused.py) —
             # zero relayouts, shared q/k/v loads, VMEM-resident logits.
-            x = fused_axial_attention(
-                q, k, v, bias_x, bias_y, scale_x, scale_y
-            ).reshape(b, h, w, c)
+            # "fused_packed" additionally packs all heads block-diagonally
+            # into each matmul (ops/axial_fused_packed.py) — heads x fewer
+            # MXU issues on this op-count-bound device.
+            kernel = (
+                fused_axial_attention_packed
+                if impl == "fused_packed"
+                else fused_axial_attention
+            )
+            x = kernel(q, k, v, bias_x, bias_y, scale_x, scale_y).reshape(b, h, w, c)
         elif impl == "unrolled":
             xx = unrolled_axis_attention(q, k, v, axis=2, bias=bias_x, scale_factor=scale_x)
             xx = xx.reshape(b, h, w, c)
@@ -234,7 +241,7 @@ class AxialAttentionBlock(nn.Module):
 
         # Column (y-direction) attention: sequence along H, (b, w, heads)
         # batched (the fused path above already included columns).
-        if impl == "fused":
+        if impl in ("fused", "fused_packed"):
             pass
         elif impl == "unrolled":
             xy = unrolled_axis_attention(q, k, v, axis=1, bias=bias_y, scale_factor=scale_y)
@@ -254,7 +261,7 @@ class AxialAttentionBlock(nn.Module):
             # xy: (b, w, heads, h, d) -> (b, h, w, c)
             xy = jnp.transpose(xy, (0, 3, 1, 2, 4)).reshape(b, h, w, c)
 
-        if impl != "fused":
+        if impl not in ("fused", "fused_packed"):
             x = (xx + xy) * 0.5
         x = InstanceNorm(self.embed_dim, name="norm2")(x)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="output_head")(x)

@@ -22,6 +22,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# Persistent compilation cache: stack-variant recompiles through the remote
+# relay cost minutes; cached executables rerun in seconds.
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_bubbleformer")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

@@ -12,6 +12,7 @@ from bubbleformer_tpu.ops.attention import (
     unrolled_axis_attention,
 )
 from bubbleformer_tpu.ops.axial_fused import fused_axial_attention
+from bubbleformer_tpu.ops.axial_fused_packed import fused_axial_attention_packed
 
 
 def _rand(bt, h, w, heads, d, seed=0):
@@ -82,6 +83,59 @@ def test_fused_chunking_invariance():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5)
 
 
+# ------------------------------------------------- head-packed fused (v2)
+@pytest.mark.parametrize("bt,h,w", [(2, 16, 8), (1, 8, 8), (3, 8, 24)])
+def test_fused_packed_forward_golden(bt, h, w):
+    q, k, v, bx, by, sx, sy = _rand(bt, h, w, 2, 8)
+    ref = _axial_reference(q, k, v, bx, by, sx, sy)
+    out = fused_axial_attention_packed(
+        q, k, v, bx, by, sx, sy, chunk_target=64, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
+
+
+def test_fused_packed_no_bias_no_scale():
+    q, k, v, *_ = _rand(2, 8, 16, 3, 8, seed=3)
+    ref = _axial_reference(q, k, v, None, None, jnp.ones((3,)), jnp.ones((3,)))
+    out = fused_axial_attention_packed(q, k, v, chunk_target=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
+
+
+def test_fused_packed_gradients_golden():
+    args = _rand(2, 16, 8, 2, 8, seed=1)
+    cot = jnp.asarray(
+        np.random.default_rng(9).standard_normal((2, 16, 8, 2, 8)).astype(np.float32)
+    )
+
+    def loss_ref(*a):
+        return jnp.sum(_axial_reference(*a) * cot)
+
+    def loss_packed(*a):
+        return jnp.sum(
+            fused_axial_attention_packed(*a, chunk_target=64, interpret=True) * cot
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    g_pk = jax.grad(loss_packed, argnums=tuple(range(7)))(*args)
+    names = ["dq", "dk", "dv", "dbias_x", "dbias_y", "dscale_x", "dscale_y"]
+    for name, a, b in zip(names, g_ref, g_pk):
+        scale = max(float(jnp.abs(a).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-6, err_msg=name
+        )
+
+
+def test_fused_packed_chunking_invariance():
+    q, k, v, bx, by, sx, sy = _rand(1, 16, 16, 2, 8, seed=2)
+    a = fused_axial_attention_packed(
+        q, k, v, bx, by, sx, sy, chunk_target=16, interpret=True
+    )
+    b = fused_axial_attention_packed(
+        q, k, v, bx, by, sx, sy, chunk_target=256, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5)
+
+
 # ------------------------------------------------------- unrolled temporal
 def test_unrolled_matches_axis_attention():
     rng = np.random.default_rng(0)
@@ -125,12 +179,15 @@ def test_model_attn_impls_agree():
         np.random.default_rng(7).standard_normal((2, 8, 8, 32)).astype(np.float32)
     )
     out = {}
-    for impl in ["plain", "fused"]:
+    for impl in ["plain", "fused", "fused_packed"]:
         blk = AxialAttentionBlock(embed_dim=32, num_heads=4, attn_impl=impl)
         v = blk.init(jax.random.key(0), x)
         out[impl] = blk.apply(v, x)
     np.testing.assert_allclose(
         np.asarray(out["fused"]), np.asarray(out["plain"]), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["fused_packed"]), np.asarray(out["plain"]), atol=1e-5, rtol=1e-5
     )
 
 
