@@ -204,3 +204,82 @@ def test_grain_loader(sample_files):
     batch = next(iter(loader))
     assert batch[0].shape == (4, 2, 4, 32, 32)
     assert batch[1].shape == (4, 2, 4, 32, 32)
+
+
+# ----------------------------------------------------------- ArrayRecord
+@pytest.fixture(scope="module")
+def arrayrecord_files(sample_files, tmp_path_factory):
+    """Convert the synthetic trajectories to ArrayRecord shards."""
+    pytest.importorskip("array_record")
+    from scripts.convert_to_arrayrecord import convert_file
+
+    out = str(tmp_path_factory.mktemp("arrec"))
+    return [convert_file(src, out, FIELDS) for src in sample_files]
+
+
+@pytest.mark.parametrize("norm,downsample", [("none", 1), ("std", 1), ("minmax", 2)])
+def test_arrayrecord_matches_hdf5(sample_files, arrayrecord_files, norm, downsample):
+    """ArrayRecordForecast must reproduce BubbleForecast samples exactly:
+    same normalization constants (from sidecar stats, no scan) and same
+    windows at every index."""
+    from bubbleformer_tpu.data import BubbleForecast
+    from bubbleformer_tpu.data.arrayrecord import ArrayRecordForecast
+
+    kw = dict(
+        input_fields=FIELDS, output_fields=FIELDS[:2], norm=norm,
+        downsample_factor=downsample, time_window=3, start_time=4,
+    )
+    ref = BubbleForecast(sample_files, **kw)
+    ref.normalize()
+    ds = ArrayRecordForecast(arrayrecord_files, **kw)
+    ds.normalize()
+
+    assert len(ds) == len(ref)
+    for field in ref.fields:
+        np.testing.assert_allclose(ds.diff_terms[field], ref.diff_terms[field], rtol=1e-12)
+        np.testing.assert_allclose(ds.div_terms[field], ref.div_terms[field], rtol=1e-12)
+    for idx in [0, 1, len(ds) // 2, len(ds) - 1]:
+        a, b = ref[idx], ds[idx]
+        np.testing.assert_allclose(a[0], b[0], atol=1e-6)
+        np.testing.assert_allclose(a[1], b[1], atol=1e-6)
+
+
+def test_arrayrecord_fluid_params_and_loader(sample_files, arrayrecord_files):
+    """Fluid params ride the sidecar; the thread-prefetch DataLoader works
+    on top of the record dataset unchanged."""
+    from bubbleformer_tpu.data import BubbleForecast, DataLoader
+    from bubbleformer_tpu.data.arrayrecord import ArrayRecordForecast
+
+    kw = dict(
+        input_fields=FIELDS, output_fields=FIELDS, norm="none",
+        time_window=2, start_time=5, return_fluid_params=True,
+    )
+    ref = BubbleForecast(sample_files, **kw)
+    ds = ArrayRecordForecast(arrayrecord_files, **kw)
+    ds.normalize()
+    np.testing.assert_allclose(
+        ds.fluid_params_vector(0), ref.fluid_params_vector(0), rtol=1e-12
+    )
+
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0)
+    batch = next(iter(loader))
+    assert batch[0].shape == (4, 2, 4, 32, 32)
+    assert batch[2].shape == (4, 9)
+
+
+def test_arrayrecord_float16_roundtrip(sample_files, tmp_path):
+    """float16 shards halve size and decode to float32 within fp16 eps."""
+    pytest.importorskip("array_record")
+    from scripts.convert_to_arrayrecord import convert_file
+    from bubbleformer_tpu.data import BubbleForecast
+    from bubbleformer_tpu.data.arrayrecord import ArrayRecordForecast
+
+    path16 = convert_file(sample_files[0], str(tmp_path), FIELDS, dtype="float16")
+    kw = dict(input_fields=FIELDS, output_fields=FIELDS, norm="none",
+              time_window=2, start_time=5)
+    ref = BubbleForecast(sample_files[:1], **kw)
+    ref.normalize()
+    ds = ArrayRecordForecast([path16], **kw)
+    ds.normalize()
+    a, b = ref[0], ds[0]
+    np.testing.assert_allclose(a[0], b[0], atol=2e-3)
