@@ -14,20 +14,37 @@ directly, following the reference's one-fused-SDPA-call hot loop
   -1e9 off them) keeps heads and windows independent.  heads x fewer MXU
   issues at a heads-fold logit-FLOP waste that is irrelevant (true FLOPs are
   ~0.5% of one issue's roofline).
+* **The packed bias tables are built inside the kernel**, once per call at
+  grid cell 0, into VMEM scratch that persists across the (sequential) grid.
+  Measured motivation: the isolated kernel costs fwd 1.9 + bwd 2.3 ms at the
+  flagship shape, but an XLA-side kron/where packing of the (N, N) bias and
+  its autodiff unpacking added ~3 ms/block — more than the kernel itself.
+  Rows place the (W, W) table on window-diagonal blocks (plain block
+  writes); columns need ``kron(bias_y, eye(wc))``, whose reshape does not
+  lower in Mosaic — instead it is computed as ``R @ bias_y @ R^T`` with a
+  constant 0/1 repeat matrix (exact gather via matmul, Precision.HIGHEST)
+  under an iota stripe mask.  The backward reduces the packed-bias gradient
+  back to the small (heads, n, n) tables in-kernel the same way (diagonal
+  block sums for rows, ``R^T @ blk @ R`` for columns) at the last grid cell.
 * **The attn_scale "uniform" component never becomes a matmul.**
   ``out = s*(P@V) + (1-s)*seg@V`` where ``seg@V`` is the within-window mean
-  of V — computed as a reshape-mean-broadcast, so the seg matrices of v1
-  (and their VMEM) disappear.  Same trick in the backward pass:
-  ``seg^T @ X`` terms are window means, and ``sum(dP_eff * seg)`` reductions
-  use the within-window mask recovered from the packed bias (``>= -1e8``).
+  of V — computed as a reshape-mean-broadcast.  Same trick in the backward
+  pass: ``seg^T @ X`` terms are window means, and ``sum(dP_eff * seg)``
+  reductions use the within-window mask recovered from the packed bias
+  (``>= -1e8``).
 * Per-head slices are staged once per image into ``(heads, H, W, d)``
   scratch (native dtype, upcast inside the matmul), not once per head per
   chunk; outputs accumulate in scratch and interleave back to ``(H, W, C)``
   once.
 
+Mosaic notes (verified on v5e): building the per-row scale column via
+``broadcast_to(...).reshape(n, 1)`` is an unsupported shape cast — iota +
+selects lower fine; ``(h, wc, h, wc) -> (h*wc, h*wc)`` reshapes and
+``jnp.repeat`` do not lower — the matmul spread does.
+
 Layout contract is identical to v1 (``(BT, H, W, heads*d)`` blocks, heads as
 channel slices), so it is a drop-in alternative behind
-``fused_axial_attention(..., pack_heads=True)``.
+``attn_impl='fused_packed'``.
 """
 from __future__ import annotations
 
@@ -40,20 +57,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from bubbleformer_tpu.ops.axial_fused import (
-    _chunk_windows,
-    pack_col_bias,
-    pack_row_bias,
-)
+from bubbleformer_tpu.ops.axial_fused import _chunk_windows
+
+_HIGH = jax.lax.Precision.HIGHEST
 
 
 def pack_heads_block_diag(per_head: jax.Array) -> jax.Array:
     """(heads, m, m) per-head packed bias -> (heads*m, heads*m) block-diag
-    with -1e9 off the per-head diagonal blocks.  Differentiable (the VJP
-    scatters the packed gradient back to the per-head tables)."""
+    with -1e9 off the per-head diagonal blocks.  XLA-side reference of the
+    in-kernel construction (used by tests/probes)."""
     heads, m, _ = per_head.shape
     eye = jnp.eye(heads, dtype=per_head.dtype)
-    # kron(eye, .) with per-head blocks: expand to (heads, m, heads, m).
     full = eye[:, None, :, None] * jnp.ones((1, m, 1, m), per_head.dtype)
     blocks = jnp.where(
         eye[:, None, :, None] > 0,
@@ -65,11 +79,7 @@ def pack_heads_block_diag(per_head: jax.Array) -> jax.Array:
 
 
 def _smem_scale_col(scale_ref, heads: int, col: int, rep: int) -> jax.Array:
-    """Per-row scale column vector (heads*rep, 1) from the (heads, 2) SMEM.
-
-    Built with iota + selects: the natural ``broadcast_to(...).reshape(n, 1)``
-    is an unsupported shape cast in Mosaic's layout inference (verified on
-    v5e), while 2D iota and lane-broadcast selects lower fine."""
+    """Per-row scale column vector (heads*rep, 1) from the (heads, 2) SMEM."""
     row_head = jax.lax.broadcasted_iota(jnp.int32, (heads * rep, 1), 0) // rep
     out = jnp.zeros((heads * rep, 1), jnp.float32)
     for hd in range(heads):
@@ -89,11 +99,49 @@ def _win_mean_cols(x: jax.Array, heads: int, h: int, wc: int, d: int) -> jax.Arr
     return jnp.broadcast_to(m, (heads, h, wc, d)).reshape(heads * h * wc, d)
 
 
+def _build_row_bias(br_s, bx_ref, heads: int, gr: int, w: int) -> None:
+    """Fill (heads*gr*w)^2 scratch: bx on (head, window) diagonal blocks."""
+    nr = heads * gr * w
+    br_s[...] = jnp.full((nr, nr), -1e9, jnp.float32)
+    for hd in range(heads):
+        for g in range(gr):
+            base = (hd * gr + g) * w
+            br_s[base : base + w, base : base + w] = bx_ref[hd]
+
+
+def _build_col_bias(bc_s, by_ref, r_ref, heads: int, h: int, wc: int) -> None:
+    """Fill (heads*h*wc)^2 scratch: kron(by, eye(wc)) per head-diagonal block
+    via the matmul spread R @ by @ R^T under an iota stripe mask."""
+    nc = heads * h * wc
+    m = h * wc
+    bc_s[...] = jnp.full((nc, nc), -1e9, jnp.float32)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    stripe = (ri % wc) == (ci % wc)
+    rmat = r_ref[...]
+    for hd in range(heads):
+        base = hd * m
+        spread = jnp.dot(
+            jnp.dot(rmat, by_ref[hd], preferred_element_type=jnp.float32, precision=_HIGH),
+            rmat.T,
+            preferred_element_type=jnp.float32,
+            precision=_HIGH,
+        )
+        bc_s[base : base + m, base : base + m] = jnp.where(stripe, spread, -1e9)
+
+
 def _fwd_kernel(
-    scale_ref, q_ref, k_ref, v_ref, br_ref, bc_ref, o_ref,
-    q_s, k_s, v_s, o_s,
+    scale_ref, q_ref, k_ref, v_ref, bx_ref, by_ref, r_ref, o_ref,
+    q_s, k_s, v_s, o_s, br_s, bc_s,
     *, h, w, heads, d, gr, wc,
 ):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        _build_row_bias(br_s, bx_ref, heads, gr, w)
+        _build_col_bias(bc_s, by_ref, r_ref, heads, h, wc)
+
     for hd in range(heads):
         ch = slice(hd * d, (hd + 1) * d)
         q_s[hd] = q_ref[0, :, :, ch]
@@ -113,7 +161,7 @@ def _fwd_kernel(
         s_mat = jax.lax.dot_general(
             qc, kc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s_mat = s_mat * scaling + br_ref[...]
+        s_mat = s_mat * scaling + br_s[...]
         p = jax.nn.softmax(s_mat, axis=-1)
         pv = jnp.dot(p.astype(vc.dtype), vc, preferred_element_type=jnp.float32)
         vm = _win_mean_rows(vc.astype(jnp.float32), heads * gr, w, d)
@@ -129,7 +177,7 @@ def _fwd_kernel(
         s_mat = jax.lax.dot_general(
             qc, kc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s_mat = s_mat * scaling + bc_ref[...]
+        s_mat = s_mat * scaling + bc_s[...]
         p = jax.nn.softmax(s_mat, axis=-1)
         pv = jnp.dot(p.astype(vc.dtype), vc, preferred_element_type=jnp.float32)
         vm = _win_mean_cols(vc.astype(jnp.float32), heads, h, wc, d)
@@ -180,17 +228,20 @@ def _bwd_chunk(qc, kc, vc, doc, bias, s_col, n_win, d, win_mean):
 
 
 def _bwd_kernel(
-    scale_ref, q_ref, k_ref, v_ref, br_ref, bc_ref, do_ref,
-    dq_ref, dk_ref, dv_ref, dbr_ref, dbc_ref, dscale_ref,
-    q_s, k_s, v_s, do_s, dq_s, dk_s, dv_s,
+    scale_ref, q_ref, k_ref, v_ref, bx_ref, by_ref, r_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, dbx_ref, dby_ref, dscale_ref,
+    q_s, k_s, v_s, do_s, dq_s, dk_s, dv_s, br_s, bc_s, dbr_s, dbc_s,
     *, h, w, heads, d, gr, wc,
 ):
     b = pl.program_id(0)
+    nr, nc = heads * gr * w, heads * h * wc
 
     @pl.when(b == 0)
     def _():
-        dbr_ref[...] = jnp.zeros_like(dbr_ref[...])
-        dbc_ref[...] = jnp.zeros_like(dbc_ref[...])
+        _build_row_bias(br_s, bx_ref, heads, gr, w)
+        _build_col_bias(bc_s, by_ref, r_ref, heads, h, wc)
+        dbr_s[...] = jnp.zeros((nr, nr), jnp.float32)
+        dbc_s[...] = jnp.zeros((nc, nc), jnp.float32)
         dscale_ref[...] = jnp.zeros_like(dscale_ref[...])
 
     for hd in range(heads):
@@ -203,17 +254,18 @@ def _bwd_kernel(
     sx_col = _smem_scale_col(scale_ref, heads, 0, gr * w)
     sy_col = _smem_scale_col(scale_ref, heads, 1, h * wc)
 
-    dsx = jnp.zeros((heads * gr * w, 1), jnp.float32)
+    dsx = jnp.zeros((nr, 1), jnp.float32)
+    dbr_acc = jnp.zeros((nr, nr), jnp.float32)
     for ci in range(h // gr):
         sl = slice(ci * gr, (ci + 1) * gr)
         shp = (heads, gr, w, d)
         dq, dk, dv, dsm, dsr = _bwd_chunk(
-            q_s[:, sl].reshape(heads * gr * w, d),
-            k_s[:, sl].reshape(heads * gr * w, d),
-            v_s[:, sl].reshape(heads * gr * w, d),
-            (do_s[:, sl].reshape(heads * gr * w, d).astype(jnp.float32) * 0.5
+            q_s[:, sl].reshape(nr, d),
+            k_s[:, sl].reshape(nr, d),
+            v_s[:, sl].reshape(nr, d),
+            (do_s[:, sl].reshape(nr, d).astype(jnp.float32) * 0.5
              ).astype(do_s.dtype),
-            br_ref[...],
+            br_s[...],
             sx_col,
             float(w),
             d,
@@ -222,20 +274,22 @@ def _bwd_kernel(
         dq_s[:, sl] = dq.reshape(shp).astype(dq_s.dtype)
         dk_s[:, sl] = dk.reshape(shp).astype(dk_s.dtype)
         dv_s[:, sl] = dv.reshape(shp).astype(dv_s.dtype)
-        dbr_ref[...] += dsm
+        dbr_acc = dbr_acc + dsm
         dsx += dsr
+    dbr_s[...] += dbr_acc
 
-    dsy = jnp.zeros((heads * h * wc, 1), jnp.float32)
+    dsy = jnp.zeros((nc, 1), jnp.float32)
+    dbc_acc = jnp.zeros((nc, nc), jnp.float32)
     for ci in range(w // wc):
         sl = slice(ci * wc, (ci + 1) * wc)
         shp = (heads, h, wc, d)
         dq, dk, dv, dsm, dsr = _bwd_chunk(
-            q_s[:, :, sl].reshape(heads * h * wc, d),
-            k_s[:, :, sl].reshape(heads * h * wc, d),
-            v_s[:, :, sl].reshape(heads * h * wc, d),
-            (do_s[:, :, sl].reshape(heads * h * wc, d).astype(jnp.float32) * 0.5
+            q_s[:, :, sl].reshape(nc, d),
+            k_s[:, :, sl].reshape(nc, d),
+            v_s[:, :, sl].reshape(nc, d),
+            (do_s[:, :, sl].reshape(nc, d).astype(jnp.float32) * 0.5
              ).astype(do_s.dtype),
-            bc_ref[...],
+            bc_s[...],
             sy_col,
             float(h),
             d,
@@ -244,8 +298,9 @@ def _bwd_kernel(
         dq_s[:, :, sl] += dq.reshape(shp).astype(dq_s.dtype)
         dk_s[:, :, sl] += dk.reshape(shp).astype(dk_s.dtype)
         dv_s[:, :, sl] += dv.reshape(shp).astype(dv_s.dtype)
-        dbc_ref[...] += dsm
+        dbc_acc = dbc_acc + dsm
         dsy += dsr
+    dbc_s[...] += dbc_acc
 
     dscale_ref[0, :] += jnp.sum(dsx.reshape(heads, gr * w), axis=1)
     dscale_ref[1, :] += jnp.sum(dsy.reshape(heads, h * wc), axis=1)
@@ -255,6 +310,27 @@ def _bwd_kernel(
         dq_ref[0, :, :, ch] = dq_s[hd].astype(dq_ref.dtype)
         dk_ref[0, :, :, ch] = dk_s[hd].astype(dk_ref.dtype)
         dv_ref[0, :, :, ch] = dv_s[hd].astype(dv_ref.dtype)
+
+    # Reduce the packed-bias gradients to the small per-head tables once.
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        for hd in range(heads):
+            acc = jnp.zeros((w, w), jnp.float32)
+            for g in range(gr):
+                base = (hd * gr + g) * w
+                acc = acc + dbr_s[base : base + w, base : base + w]
+            dbx_ref[hd] = acc
+        rmat = r_ref[...]
+        m = h * wc
+        for hd in range(heads):
+            base = hd * m
+            blk = dbc_s[base : base + m, base : base + m]
+            dby_ref[hd] = jnp.dot(
+                jnp.dot(rmat.T, blk, preferred_element_type=jnp.float32, precision=_HIGH),
+                rmat,
+                preferred_element_type=jnp.float32,
+                precision=_HIGH,
+            )
 
 
 @functools.lru_cache(maxsize=None)
@@ -270,21 +346,29 @@ def _make_fused_packed(
     qkv_spec = pl.BlockSpec(
         (1, h, w, c), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    br_spec = pl.BlockSpec((nr, nr), lambda b: (0, 0), memory_space=pltpu.VMEM)
-    bc_spec = pl.BlockSpec((nc, nc), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    bx_spec = pl.BlockSpec((heads, w, w), lambda b: (0, 0, 0), memory_space=pltpu.VMEM)
+    by_spec = pl.BlockSpec((heads, h, h), lambda b: (0, 0, 0), memory_space=pltpu.VMEM)
+    r_spec = pl.BlockSpec((h * wc, h), lambda b: (0, 0), memory_space=pltpu.VMEM)
     scale_spec = pl.BlockSpec((heads, 2), lambda b: (0, 0), memory_space=pltpu.SMEM)
+
+    # Constant 0/1 repeat matrix for the column kron spread.
+    rmat = jnp.asarray(
+        np.kron(np.eye(h, dtype=np.float32), np.ones((wc, 1), np.float32))
+    )
 
     kdims = dict(h=h, w=w, heads=heads, d=d, gr=gr, wc=wc)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     head_scratch = lambda dt: pltpu.VMEM((heads, h, w, d), dt)
+    bias_scratch = [pltpu.VMEM((nr, nr), jnp.float32), pltpu.VMEM((nc, nc), jnp.float32)]
 
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, **kdims),
         grid=grid,
-        in_specs=[scale_spec, qkv_spec, qkv_spec, qkv_spec, br_spec, bc_spec],
+        in_specs=[scale_spec, qkv_spec, qkv_spec, qkv_spec, bx_spec, by_spec, r_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((bt, h, w, c), dtype),
-        scratch_shapes=[head_scratch(dtype)] * 3 + [head_scratch(jnp.float32)],
+        scratch_shapes=[head_scratch(dtype)] * 3 + [head_scratch(jnp.float32)]
+        + bias_scratch,
         compiler_params=cparams,
         interpret=interpret,
     )
@@ -293,36 +377,38 @@ def _make_fused_packed(
         functools.partial(_bwd_kernel, **kdims),
         grid=grid,
         in_specs=[
-            scale_spec, qkv_spec, qkv_spec, qkv_spec, br_spec, bc_spec, qkv_spec,
+            scale_spec, qkv_spec, qkv_spec, qkv_spec, bx_spec, by_spec, r_spec,
+            qkv_spec,
         ],
         out_specs=[
-            qkv_spec, qkv_spec, qkv_spec, br_spec, bc_spec,
+            qkv_spec, qkv_spec, qkv_spec, bx_spec, by_spec,
             pl.BlockSpec((2, heads), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bt, h, w, c), dtype),
             jax.ShapeDtypeStruct((bt, h, w, c), dtype),
             jax.ShapeDtypeStruct((bt, h, w, c), dtype),
-            jax.ShapeDtypeStruct((nr, nr), jnp.float32),
-            jax.ShapeDtypeStruct((nc, nc), jnp.float32),
+            jax.ShapeDtypeStruct((heads, w, w), jnp.float32),
+            jax.ShapeDtypeStruct((heads, h, h), jnp.float32),
             jax.ShapeDtypeStruct((2, heads), jnp.float32),
         ],
-        scratch_shapes=[head_scratch(dtype)] * 4 + [head_scratch(jnp.float32)] * 3,
+        scratch_shapes=[head_scratch(dtype)] * 4 + [head_scratch(jnp.float32)] * 3
+        + bias_scratch + bias_scratch,
         compiler_params=cparams,
         interpret=interpret,
     )
 
     @jax.custom_vjp
-    def fused(q, k, v, br, bc, scale):
-        return fwd_call(scale, q, k, v, br, bc)
+    def fused(q, k, v, bx, by, scale):
+        return fwd_call(scale, q, k, v, bx, by, rmat)
 
-    def fused_fwd(q, k, v, br, bc, scale):
-        return fwd_call(scale, q, k, v, br, bc), (q, k, v, br, bc, scale)
+    def fused_fwd(q, k, v, bx, by, scale):
+        return fwd_call(scale, q, k, v, bx, by, rmat), (q, k, v, bx, by, scale)
 
     def fused_bwd(res, do):
-        q, k, v, br, bc, scale = res
-        dq, dk, dv, dbr, dbc, dscale = bwd_call(scale, q, k, v, br, bc, do)
-        return dq, dk, dv, dbr, dbc, dscale.T
+        q, k, v, bx, by, scale = res
+        dq, dk, dv, dbx, dby, dscale = bwd_call(scale, q, k, v, bx, by, rmat, do)
+        return dq, dk, dv, dbx, dby, dscale.T
 
     fused.defvjp(fused_fwd, fused_bwd)
     return fused
@@ -351,8 +437,10 @@ def fused_axial_attention_packed(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    br = pack_heads_block_diag(pack_row_bias(bias_x, heads, gr, w))
-    bc = pack_heads_block_diag(pack_col_bias(bias_y, heads, h, wc))
+    zeros_x = jnp.zeros((heads, w, w), jnp.float32)
+    zeros_y = jnp.zeros((heads, h, h), jnp.float32)
+    bx = zeros_x if bias_x is None else bias_x.astype(jnp.float32)
+    by = zeros_y if bias_y is None else bias_y.astype(jnp.float32)
     ones = jnp.ones((heads,), jnp.float32)
     scale = jnp.stack(
         [
@@ -371,7 +459,7 @@ def fused_axial_attention_packed(
         q.astype(common).reshape(bt, h, w, c),
         k.astype(common).reshape(bt, h, w, c),
         v.astype(common).reshape(bt, h, w, c),
-        br, bc, scale,
+        bx, by, scale,
     )
     out = jax.ad_checkpoint.checkpoint_name(out, "flash_attn")
     return out.reshape(bt, h, w, heads, d)

@@ -121,9 +121,100 @@ def time_variant(variant, args):
     return dt, compile_s
 
 
+def time_kernel_isolated(args):
+    """Time the axial attention op alone (fwd and fwd+bwd), outside any block.
+
+    Isolates the op from the block's qkv projection/norms so kernel-level
+    claims (e.g. fused_packed fwd 1.9 ms / bwd 2.3 ms at the flagship shape)
+    live in a recorded artifact rather than ad-hoc probes."""
+    from bubbleformer_tpu.ops.attention import axis_attention
+    from bubbleformer_tpu.ops.axial_fused import fused_axial_attention
+    from bubbleformer_tpu.ops.axial_fused_packed import fused_axial_attention_packed
+
+    bt = args.batch * args.tw
+    heads, d = args.heads, args.embed_dim // args.heads
+    h = w = args.grid
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32), jnp.bfloat16)
+    q, k, v = (mk(bt, h, w, heads, d) for _ in range(3))
+    bx = jnp.asarray(rng.standard_normal((heads, w, w)).astype(np.float32))
+    by = jnp.asarray(rng.standard_normal((heads, h, h)).astype(np.float32))
+    sx = jnp.asarray(rng.uniform(0.5, 1.5, heads).astype(np.float32))
+    sy = jnp.asarray(rng.uniform(0.5, 1.5, heads).astype(np.float32))
+
+    if args.attn_impl == "fused_packed":
+        op = lambda q, k, v: fused_axial_attention_packed(q, k, v, bx, by, sx, sy)
+    elif args.attn_impl == "fused":
+        op = lambda q, k, v: fused_axial_attention(q, k, v, bx, by, sx, sy)
+    else:  # plain: rows+cols averaged via dot_general axis attention
+        def op(q, k, v):
+            xx = axis_attention(q, k, v, axis=2, bias=bx, scale_factor=sx)
+            xx = jnp.transpose(xx, (0, 1, 3, 2, 4))
+            xy = axis_attention(q, k, v, axis=1, bias=by, scale_factor=sy)
+            xy = jnp.transpose(xy, (0, 3, 1, 2, 4))
+            return (xx + xy) * 0.5
+
+    def run_mode(mode):
+        if mode == "fwd":
+            def body_fn(qq, kk, vv):
+                o = op(qq, kk, vv)
+                return jnp.sum(o.astype(jnp.float32)), o
+        else:
+            def body_fn(qq, kk, vv):
+                l, g = jax.value_and_grad(
+                    lambda a, b, c: jnp.sum(op(a, b, c).astype(jnp.float32) ** 2),
+                    argnums=(0, 1, 2),
+                )(qq, kk, vv)
+                return l + jnp.sum(g[0].astype(jnp.float32)) + jnp.sum(
+                    g[1].astype(jnp.float32)
+                ), g[2]
+
+        n = args.steps
+
+        @jax.jit
+        def run(q, k, v):
+            def body(carry, _):
+                qq, kk, vv = carry
+                val, new_v = body_fn(qq, kk, vv)
+                return (qq, kk, new_v.astype(vv.dtype)), val
+
+            _, vals = jax.lax.scan(body, (q, k, v), None, length=n)
+            return vals[-1]
+
+        t0 = time.time()
+        _ = float(run(q, k, v))
+        compile_s = time.time() - t0
+        t0 = time.time()
+        _ = float(run(q, k, v))
+        return (time.time() - t0) / n, compile_s
+
+    for mode in ["fwd", "fwd_bwd"]:
+        dt, compile_s = run_mode(mode)
+        print(
+            json.dumps(
+                {
+                    "variant": f"kernel_{mode}",
+                    "attn_impl": args.attn_impl,
+                    "ms_per_call": round(dt * 1e3, 3),
+                    "compile_s": round(compile_s, 1),
+                    "bt": bt,
+                    "grid": args.grid,
+                    "heads": args.heads,
+                    "head_dim": d,
+                }
+            ),
+            flush=True,
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", nargs="+", default=["full", "temporal", "axial"])
+    ap.add_argument(
+        "--kernel", action="store_true",
+        help="time the axial attention op alone (fwd / fwd+bwd) instead of "
+        "block stacks",
+    )
     ap.add_argument("--attn-impl", default="plain")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--tw", type=int, default=5)
@@ -138,6 +229,9 @@ def main():
     log(f"device: {dev.device_kind}; shape B{args.batch} T{args.tw} "
         f"{args.grid}x{args.grid} C{args.embed_dim} h{args.heads} "
         f"depth {args.depth} impl {args.attn_impl}")
+    if args.kernel:
+        time_kernel_isolated(args)
+        return
     for v in args.variants:
         dt, compile_s = time_variant(v, args)
         print(
