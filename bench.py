@@ -122,7 +122,14 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--model-cfg", default="film_avit_small")
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--attn-impl", default="auto", choices=["auto", "flash", "packed", "plain", "unrolled", "fused"])
+    ap.add_argument(
+        "--attn-impl",
+        default="auto",
+        choices=[
+            "auto", "flash", "packed", "plain", "unrolled",
+            "fused", "fused_packed", "fused_block",
+        ],
+    )
     ap.add_argument("--scan-blocks", action="store_true")
     ap.add_argument("--no-remat", action="store_true", help="save all activations (op-count win, more HBM)")
     ap.add_argument("--no-rollout", action="store_true", help="skip the rollout fps metric")

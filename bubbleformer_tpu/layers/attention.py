@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from bubbleformer_tpu.layers.linear import GeluMLP
-from bubbleformer_tpu.layers.norm import InstanceNorm
+from bubbleformer_tpu.layers.norm import InstanceNorm, LayerNormParams
 from bubbleformer_tpu.layers.positional import make_bias_module
 from bubbleformer_tpu.layers.stochastic import drop_path
 from bubbleformer_tpu.ops.attention import (
@@ -32,6 +32,7 @@ from bubbleformer_tpu.ops.attention import (
     unrolled_axis_attention,
 )
 from bubbleformer_tpu.ops.axial_fused import fused_axial_attention
+from bubbleformer_tpu.ops.axial_fused_block import fused_block_attention
 from bubbleformer_tpu.ops.axial_fused_packed import fused_axial_attention_packed
 from bubbleformer_tpu.ops.axial_pallas import flash_packed_attention
 
@@ -45,14 +46,17 @@ def _resolve_attn_impl(impl: str, seq_len: int, kind: str = "axial") -> str:
       stack from 100.4 to 49.1 ms vs plain batched dot_general — tiny
       sequences never touch the MXU and need no relayouts.
     * axial (seq 32): the round-1 relayout-based kernels *lose* to plain
-      (flash 120.7 / packed 140.5 vs plain 92.3 ms); the natural-layout
-      ``fused`` row+column kernel (ops/axial_fused.py) replaces them.
+      (flash 120.7 / packed 140.5 vs plain 92.3 ms), and the natural-layout
+      row+column kernels only drew level once the kernel boundary moved to
+      the raw QKV tensor with qk-LayerNorm computed in-kernel
+      (``fused_block``: depth-4 axial stack 30.4 ms vs plain 33.4 vs
+      fused_packed 43.4 — ABLATIONS_r02.json).
 
     'auto' resolves: temporal -> unrolled for seq <= 8, else plain off-TPU or
-    flash on TPU at seq >= 64; axial -> plain (the fused kernel currently
-    measures 119.9 ms vs plain's 92.3 for the axial stack — kept selectable
-    while its per-head slicing is optimized).  All impls remain directly
-    selectable and numerically identical (golden tests).
+    flash on TPU at seq >= 64; axial -> fused_block on TPU (plain off-TPU:
+    interpret-mode pallas is orders slower and XLA:CPU fuses fine).  All
+    impls remain directly selectable and numerically identical (golden
+    tests).
     """
     if impl == "auto":
         import jax as _jax
@@ -62,7 +66,7 @@ def _resolve_attn_impl(impl: str, seq_len: int, kind: str = "axial") -> str:
             if seq_len <= 8:
                 return "unrolled"
             return "flash" if on_tpu and seq_len >= 64 else "plain"
-        return "plain"
+        return "fused_block" if on_tpu else "plain"
     return impl
 
 
@@ -186,10 +190,18 @@ class AxialAttentionBlock(nn.Module):
 
         x = InstanceNorm(self.embed_dim, name="norm1")(x)
         qkv = nn.Dense(3 * self.embed_dim, dtype=self.dtype, name="input_head")(x)
-        qkv = qkv.reshape(b, h, w, heads, 3 * d)
-        q, k, v = jnp.split(qkv, 3, axis=-1)  # (b, h, w, heads, d)
-        q = nn.LayerNorm(epsilon=1e-5, name="qnorm")(q).astype(qkv.dtype)
-        k = nn.LayerNorm(epsilon=1e-5, name="knorm")(k).astype(qkv.dtype)
+        impl = _resolve_attn_impl(self.attn_impl, max(h, w))
+        if impl == "fused_block":
+            # qk-LayerNorm runs inside the v3 kernel; only declare its
+            # params here (paths identical to nn.LayerNorm, so checkpoints
+            # interchange across attn_impl settings).
+            qn_scale, qn_bias = LayerNormParams(d, name="qnorm")()
+            kn_scale, kn_bias = LayerNormParams(d, name="knorm")()
+        else:
+            qkv5 = qkv.reshape(b, h, w, heads, 3 * d)
+            q, k, v = jnp.split(qkv5, 3, axis=-1)  # (b, h, w, heads, d)
+            q = nn.LayerNorm(epsilon=1e-5, name="qnorm")(q).astype(qkv.dtype)
+            k = nn.LayerNorm(epsilon=1e-5, name="knorm")(k).astype(qkv.dtype)
 
         bias_mod = make_bias_module(self.bias_type, heads)
 
@@ -207,8 +219,15 @@ class AxialAttentionBlock(nn.Module):
             if self.attn_scale
             else None
         )
-        impl = _resolve_attn_impl(self.attn_impl, max(h, w))
-        if impl in ("fused", "fused_packed"):
+        if impl == "fused_block":
+            # v3 kernel: consumes the raw interleaved (BT,H,W,3C) QKV tensor
+            # and runs qk-LayerNorm in-kernel (ops/axial_fused_block.py) —
+            # no split/LN/concat materialization at the kernel boundary.
+            x = fused_block_attention(
+                qkv, qn_scale, qn_bias, kn_scale, kn_bias,
+                bias_x, bias_y, scale_x, scale_y, heads=heads,
+            ).reshape(b, h, w, c)
+        elif impl in ("fused", "fused_packed"):
             # One kernel launch computes rows AND columns from the natural
             # layout and writes the averaged result (ops/axial_fused.py) —
             # zero relayouts, shared q/k/v loads, VMEM-resident logits.
@@ -241,7 +260,7 @@ class AxialAttentionBlock(nn.Module):
 
         # Column (y-direction) attention: sequence along H, (b, w, heads)
         # batched (the fused path above already included columns).
-        if impl in ("fused", "fused_packed"):
+        if impl in ("fused", "fused_packed", "fused_block"):
             pass
         elif impl == "unrolled":
             xy = unrolled_axis_attention(q, k, v, axis=1, bias=bias_y, scale_factor=scale_y)
@@ -261,7 +280,7 @@ class AxialAttentionBlock(nn.Module):
             # xy: (b, w, heads, h, d) -> (b, h, w, c)
             xy = jnp.transpose(xy, (0, 3, 1, 2, 4)).reshape(b, h, w, c)
 
-        if impl not in ("fused", "fused_packed"):
+        if impl not in ("fused", "fused_packed", "fused_block"):
             x = (xx + xy) * 0.5
         x = InstanceNorm(self.embed_dim, name="norm2")(x)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="output_head")(x)

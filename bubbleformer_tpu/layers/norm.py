@@ -15,6 +15,25 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class LayerNormParams(nn.Module):
+    """Declares LayerNorm affine parameters without applying the norm.
+
+    Used by fused attention kernels that compute the normalization
+    in-kernel (``ops/axial_fused_block.py``): naming this module ``qnorm``
+    / ``knorm`` yields parameter paths identical to ``nn.LayerNorm``'s
+    (``{scale, bias}`` of shape ``(dim,)``), so checkpoints are
+    interchangeable across ``attn_impl`` settings.
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
 class InstanceNorm(nn.Module):
     """Per-sample, per-channel spatial normalization with affine params.
 

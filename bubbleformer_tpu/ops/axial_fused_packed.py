@@ -351,10 +351,11 @@ def _make_fused_packed(
     r_spec = pl.BlockSpec((h * wc, h), lambda b: (0, 0), memory_space=pltpu.VMEM)
     scale_spec = pl.BlockSpec((heads, 2), lambda b: (0, 0), memory_space=pltpu.SMEM)
 
-    # Constant 0/1 repeat matrix for the column kron spread.
-    rmat = jnp.asarray(
-        np.kron(np.eye(h, dtype=np.float32), np.ones((wc, 1), np.float32))
-    )
+    # Constant 0/1 repeat matrix for the column kron spread.  Plain numpy
+    # (NOT jnp): this factory is lru_cached, and a jnp constant built while
+    # a trace (e.g. nn.remat) is active would cache a tracer and leak it
+    # into later traces.  Numpy operands are converted per-trace.
+    rmat = np.kron(np.eye(h, dtype=np.float32), np.ones((wc, 1), np.float32))
 
     kdims = dict(h=h, w=w, heads=heads, d=d, gr=gr, wc=wc)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)

@@ -12,6 +12,7 @@ from bubbleformer_tpu.ops.attention import (
     unrolled_axis_attention,
 )
 from bubbleformer_tpu.ops.axial_fused import fused_axial_attention
+from bubbleformer_tpu.ops.axial_fused_block import fused_block_attention
 from bubbleformer_tpu.ops.axial_fused_packed import fused_axial_attention_packed
 
 
@@ -136,6 +137,97 @@ def test_fused_packed_chunking_invariance():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5)
 
 
+# ------------------------------------- block-fused with in-kernel qk-LN (v3)
+def _rand_block(bt, h, w, heads, d, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    q, k, v = mk(bt, h, w, heads, d), mk(bt, h, w, heads, d), mk(bt, h, w, heads, d)
+    qkv = jnp.concatenate([q, k, v], axis=-1).reshape(bt, h, w, heads * 3 * d)
+    qg, qb = mk(d) * 0.2 + 1.0, mk(d) * 0.2
+    kg, kb = mk(d) * 0.2 + 1.0, mk(d) * 0.2
+    bx, by = mk(heads, w, w), mk(heads, h, h)
+    sx = jnp.asarray(rng.uniform(0.5, 1.5, heads).astype(np.float32))
+    sy = jnp.asarray(rng.uniform(0.5, 1.5, heads).astype(np.float32))
+    return qkv, qg, qb, kg, kb, bx, by, sx, sy
+
+
+def _block_reference(qkv, qg, qb, kg, kb, bx, by, sx, sy, heads):
+    """Split + flax-semantics qk-LayerNorm + axial reference."""
+    bt, h, w, c3 = qkv.shape
+    d = c3 // (3 * heads)
+    q, k, v = jnp.split(qkv.reshape(bt, h, w, heads, 3 * d), 3, axis=-1)
+
+    def ln(x, g, b):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-5) * g + b
+
+    return _axial_reference(ln(q, qg, qb), ln(k, kg, kb), v, bx, by, sx, sy)
+
+
+@pytest.mark.parametrize("bt,h,w", [(2, 16, 8), (1, 8, 8), (3, 8, 24)])
+def test_fused_block_forward_golden(bt, h, w):
+    args = _rand_block(bt, h, w, 2, 8)
+    ref = _block_reference(*args, heads=2)
+    out = fused_block_attention(*args, heads=2, chunk_target=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6, rtol=1e-5)
+
+
+def test_fused_block_no_bias_no_scale():
+    qkv, qg, qb, kg, kb, *_ = _rand_block(2, 8, 16, 3, 8, seed=3)
+    ref = _block_reference(
+        qkv, qg, qb, kg, kb, None, None, jnp.ones((3,)), jnp.ones((3,)), heads=3
+    )
+    out = fused_block_attention(
+        qkv, qg, qb, kg, kb, heads=3, chunk_target=64, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6, rtol=1e-5)
+
+
+def test_fused_block_gradients_golden():
+    args = _rand_block(2, 16, 8, 2, 8, seed=1)
+    cot = jnp.asarray(
+        np.random.default_rng(9).standard_normal((2, 16, 8, 2, 8)).astype(np.float32)
+    )
+
+    def loss_ref(*a):
+        return jnp.sum(_block_reference(*a, heads=2) * cot)
+
+    def loss_blk(*a):
+        return jnp.sum(
+            fused_block_attention(*a, heads=2, chunk_target=64, interpret=True) * cot
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    g_blk = jax.grad(loss_blk, argnums=tuple(range(9)))(*args)
+    names = ["dqkv", "dqg", "dqb", "dkg", "dkb", "dbx", "dby", "dsx", "dsy"]
+    for name, a, b in zip(names, g_ref, g_blk):
+        scale = max(float(jnp.abs(a).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-5, err_msg=name
+        )
+
+
+def test_fused_block_under_remat():
+    """Regression: the lru_cached kernel factory must not capture trace-time
+    constants.  Building the factory *inside* a remat trace and reusing it in
+    the backward re-trace leaked a tracer (UnexpectedTracerError) when rmat
+    was a jnp array; numpy constants convert per-trace."""
+    from bubbleformer_tpu.ops import axial_fused_block as afb
+
+    afb._make_fused_block.cache_clear()
+    args = _rand_block(1, 8, 8, 2, 8, seed=5)
+
+    @jax.checkpoint
+    def loss(*a):
+        return jnp.sum(
+            fused_block_attention(*a, heads=2, chunk_target=64, interpret=True)
+        )
+
+    g = jax.grad(loss)(*args)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 # ------------------------------------------------------- unrolled temporal
 def test_unrolled_matches_axis_attention():
     rng = np.random.default_rng(0)
@@ -179,16 +271,15 @@ def test_model_attn_impls_agree():
         np.random.default_rng(7).standard_normal((2, 8, 8, 32)).astype(np.float32)
     )
     out = {}
-    for impl in ["plain", "fused", "fused_packed"]:
+    for impl in ["plain", "fused", "fused_packed", "fused_block"]:
         blk = AxialAttentionBlock(embed_dim=32, num_heads=4, attn_impl=impl)
         v = blk.init(jax.random.key(0), x)
         out[impl] = blk.apply(v, x)
-    np.testing.assert_allclose(
-        np.asarray(out["fused"]), np.asarray(out["plain"]), atol=1e-5, rtol=1e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(out["fused_packed"]), np.asarray(out["plain"]), atol=1e-5, rtol=1e-5
-    )
+    for impl in ["fused", "fused_packed", "fused_block"]:
+        np.testing.assert_allclose(
+            np.asarray(out[impl]), np.asarray(out["plain"]), atol=1e-5, rtol=1e-5,
+            err_msg=impl,
+        )
 
 
 def test_model_temporal_unrolled_agrees():
