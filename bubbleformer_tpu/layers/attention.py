@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from bubbleformer_tpu.layers.linear import GeluMLP
-from bubbleformer_tpu.layers.norm import InstanceNorm, LayerNormParams
+from bubbleformer_tpu.layers.norm import DenseParams, InstanceNorm, LayerNormParams
 from bubbleformer_tpu.layers.positional import make_bias_module
 from bubbleformer_tpu.layers.stochastic import drop_path
 from bubbleformer_tpu.ops.attention import (
@@ -31,6 +31,7 @@ from bubbleformer_tpu.ops.attention import (
     packed_attention,
     unrolled_axis_attention,
 )
+from bubbleformer_tpu.ops.axial_block_mega import mega_axial_block
 from bubbleformer_tpu.ops.axial_fused import fused_axial_attention
 from bubbleformer_tpu.ops.axial_fused_block import fused_block_attention
 from bubbleformer_tpu.ops.axial_fused_packed import fused_axial_attention_packed
@@ -188,25 +189,8 @@ class AxialAttentionBlock(nn.Module):
         d = c // heads
         inp = x
 
-        x = InstanceNorm(self.embed_dim, name="norm1")(x)
-        qkv = nn.Dense(3 * self.embed_dim, dtype=self.dtype, name="input_head")(x)
         impl = _resolve_attn_impl(self.attn_impl, max(h, w))
-        if impl == "fused_block":
-            # qk-LayerNorm runs inside the v3 kernel; only declare its
-            # params here (paths identical to nn.LayerNorm, so checkpoints
-            # interchange across attn_impl settings).
-            qn_scale, qn_bias = LayerNormParams(d, name="qnorm")()
-            kn_scale, kn_bias = LayerNormParams(d, name="knorm")()
-        else:
-            qkv5 = qkv.reshape(b, h, w, heads, 3 * d)
-            q, k, v = jnp.split(qkv5, 3, axis=-1)  # (b, h, w, heads, d)
-            q = nn.LayerNorm(epsilon=1e-5, name="qnorm")(q).astype(qkv.dtype)
-            k = nn.LayerNorm(epsilon=1e-5, name="knorm")(k).astype(qkv.dtype)
-
         bias_mod = make_bias_module(self.bias_type, heads)
-
-        # Row (x-direction) attention: sequence along W, (b, h, heads) batched
-        # directly on the (b, h, w, heads, d) layout.
         bias_x = bias_mod(w, w) if bias_mod is not None else None
         scale_x = (
             self.param("attn_scale_factor_x", nn.initializers.ones, (heads,))
@@ -219,6 +203,44 @@ class AxialAttentionBlock(nn.Module):
             if self.attn_scale
             else None
         )
+
+        if impl == "mega":
+            # v4 megakernel: the entire branch (InstanceNorm1 -> QKV Dense ->
+            # qk-LN -> axial attention -> InstanceNorm2 -> output Dense) runs
+            # in one pallas_call (ops/axial_block_mega.py).  All parameter
+            # paths match the XLA impls, so checkpoints interchange.
+            in1_s, in1_b = LayerNormParams(self.embed_dim, name="norm1")()
+            wqkv, bqkv = DenseParams(c, 3 * self.embed_dim, name="input_head")()
+            qn_scale, qn_bias = LayerNormParams(d, name="qnorm")()
+            kn_scale, kn_bias = LayerNormParams(d, name="knorm")()
+            in2_s, in2_b = LayerNormParams(self.embed_dim, name="norm2")()
+            wout, bout = DenseParams(
+                self.embed_dim, self.embed_dim, name="output_head"
+            )()
+            xin = x if self.dtype is None else x.astype(self.dtype)
+            x = mega_axial_block(
+                xin, in1_s, in1_b, wqkv, bqkv, qn_scale, qn_bias, kn_scale,
+                kn_bias, in2_s, in2_b, wout, bout, bias_x, bias_y, scale_x,
+                scale_y, heads=heads,
+            )
+            return self._epilogue(x, inp, drop_path_rate, deterministic)
+
+        x = InstanceNorm(self.embed_dim, name="norm1")(x)
+        qkv = nn.Dense(3 * self.embed_dim, dtype=self.dtype, name="input_head")(x)
+        if impl == "fused_block":
+            # qk-LayerNorm runs inside the v3 kernel; only declare its
+            # params here (paths identical to nn.LayerNorm, so checkpoints
+            # interchange across attn_impl settings).
+            qn_scale, qn_bias = LayerNormParams(d, name="qnorm")()
+            kn_scale, kn_bias = LayerNormParams(d, name="knorm")()
+        else:
+            qkv5 = qkv.reshape(b, h, w, heads, 3 * d)
+            q, k, v = jnp.split(qkv5, 3, axis=-1)  # (b, h, w, heads, d)
+            q = nn.LayerNorm(epsilon=1e-5, name="qnorm")(q).astype(qkv.dtype)
+            k = nn.LayerNorm(epsilon=1e-5, name="knorm")(k).astype(qkv.dtype)
+
+        # Row (x-direction) attention: sequence along W, (b, h, heads) batched
+        # directly on the (b, h, w, heads, d) layout.
         if impl == "fused_block":
             # v3 kernel: consumes the raw interleaved (BT,H,W,3C) QKV tensor
             # and runs qk-LayerNorm in-kernel (ops/axial_fused_block.py) —
@@ -284,7 +306,13 @@ class AxialAttentionBlock(nn.Module):
             x = (xx + xy) * 0.5
         x = InstanceNorm(self.embed_dim, name="norm2")(x)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="output_head")(x)
+        return self._epilogue(x, inp, drop_path_rate, deterministic)
 
+    def _epilogue(self, x, inp, drop_path_rate, deterministic):
+        """feat_scale + LayerScale/DropPath residual + MLP sub-block (shared
+        by the XLA paths and the megakernel, which ends at the output Dense).
+        Plain helper invoked from the compact ``__call__`` so its params land
+        in the module scope."""
         if self.feat_scale:
             low = self.param("low_freq_scalar", nn.initializers.zeros, (self.embed_dim,))
             high = self.param("high_freq_scalar", nn.initializers.zeros, (self.embed_dim,))

@@ -34,6 +34,31 @@ class LayerNormParams(nn.Module):
         return scale, bias
 
 
+class DenseParams(nn.Module):
+    """Declares ``nn.Dense`` parameters without applying the layer.
+
+    Used by the whole-branch megakernel (``ops/axial_block_mega.py``) which
+    computes the projection matmuls in-kernel: naming this module
+    ``input_head`` / ``output_head`` yields parameter paths and initializers
+    identical to ``nn.Dense``'s (``kernel`` (in, out) lecun-normal, ``bias``
+    (out,) zeros), so checkpoints are interchangeable across ``attn_impl``
+    settings.
+    """
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
+        return kernel, bias
+
+
 class InstanceNorm(nn.Module):
     """Per-sample, per-channel spatial normalization with affine params.
 

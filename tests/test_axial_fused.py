@@ -228,6 +228,109 @@ def test_fused_block_under_remat():
     assert np.isfinite(np.asarray(g)).all()
 
 
+# ------------------------------------- whole-branch megakernel (v4)
+def test_mega_module_forward_matches_plain():
+    """AxialAttentionBlock(attn_impl='mega'): identical init params (paths,
+    shapes, values) and identical forward output vs the plain XLA path."""
+    from bubbleformer_tpu.layers.attention import AxialAttentionBlock
+    import jax.tree_util as jtu
+
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 8, 8, 32)).astype(np.float32)
+    )
+    out, params = {}, {}
+    for impl in ["plain", "mega"]:
+        blk = AxialAttentionBlock(embed_dim=32, num_heads=4, attn_impl=impl)
+        params[impl] = blk.init(jax.random.key(0), x)
+        out[impl] = blk.apply(params[impl], x)
+    pa = jtu.tree_leaves_with_path(params["plain"])
+    pb = jtu.tree_leaves_with_path(params["mega"])
+    assert [jtu.keystr(k) for k, _ in pa] == [jtu.keystr(k) for k, _ in pb]
+    for (k, a), (_, b) in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), err_msg=jtu.keystr(k))
+    np.testing.assert_allclose(
+        np.asarray(out["mega"]), np.asarray(out["plain"]), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_mega_module_gradients_match_plain():
+    """Full-branch hand-written VJP vs autodiff of the XLA path, through the
+    Flax module: gradients for every parameter (both Dense kernels/biases,
+    both InstanceNorm affines, qk-LN affines, T5 bias table, attn scales)
+    and for the input."""
+    from bubbleformer_tpu.layers.attention import AxialAttentionBlock
+    import jax.tree_util as jtu
+
+    x = jnp.asarray(
+        np.random.default_rng(11).standard_normal((2, 8, 16, 32)).astype(np.float32)
+    )
+    cot = jnp.asarray(
+        np.random.default_rng(12).standard_normal((2, 8, 16, 32)).astype(np.float32)
+    )
+    grads, xgrads = {}, {}
+    for impl in ["plain", "mega"]:
+        blk = AxialAttentionBlock(embed_dim=32, num_heads=4, attn_impl=impl)
+        v = blk.init(jax.random.key(0), x)
+
+        def loss(params, xx):
+            return jnp.sum(blk.apply(params, xx) * cot)
+
+        grads[impl], xgrads[impl] = jax.grad(loss, argnums=(0, 1))(v, x)
+    ga = jtu.tree_leaves_with_path(grads["plain"])
+    gb = jtu.tree_leaves_with_path(grads["mega"])
+    for (k, a), (_, b) in zip(ga, gb):
+        s = max(float(jnp.abs(a).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(b) / s, np.asarray(a) / s, atol=2e-5, err_msg=jtu.keystr(k)
+        )
+    s = max(float(jnp.abs(xgrads["plain"]).max()), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(xgrads["mega"]) / s, np.asarray(xgrads["plain"]) / s, atol=2e-5
+    )
+
+
+def test_mega_non_square_and_no_bias():
+    """Non-square grid, bias_type='none', feat/attn scales off."""
+    from bubbleformer_tpu.layers.attention import AxialAttentionBlock
+
+    x = jnp.asarray(
+        np.random.default_rng(13).standard_normal((1, 16, 8, 24)).astype(np.float32)
+    )
+    out = {}
+    for impl in ["plain", "mega"]:
+        blk = AxialAttentionBlock(
+            embed_dim=24, num_heads=3, attn_impl=impl, bias_type="none",
+            attn_scale=False, feat_scale=False,
+        )
+        v = blk.init(jax.random.key(1), x)
+        out[impl] = blk.apply(v, x)
+    np.testing.assert_allclose(
+        np.asarray(out["mega"]), np.asarray(out["plain"]), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_mega_under_remat():
+    """The lru_cached megakernel factory must not capture trace-time
+    constants (same regression class as test_fused_block_under_remat)."""
+    from bubbleformer_tpu.layers.attention import AxialAttentionBlock
+    from bubbleformer_tpu.ops import axial_block_mega as abm
+
+    abm._make_mega_block.cache_clear()
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((1, 8, 8, 16)).astype(np.float32)
+    )
+    blk = AxialAttentionBlock(embed_dim=16, num_heads=2, attn_impl="mega")
+    v = blk.init(jax.random.key(0), x)
+
+    @jax.checkpoint
+    def loss(params):
+        return jnp.sum(blk.apply(params, x) ** 2)
+
+    g = jax.grad(loss)(v)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 # ------------------------------------------------------- unrolled temporal
 def test_unrolled_matches_axis_attention():
     rng = np.random.default_rng(0)
