@@ -36,6 +36,7 @@ from bubbleformer_tpu.ops.axial_fused import fused_axial_attention
 from bubbleformer_tpu.ops.axial_fused_block import fused_block_attention
 from bubbleformer_tpu.ops.axial_fused_packed import fused_axial_attention_packed
 from bubbleformer_tpu.ops.axial_pallas import flash_packed_attention
+from bubbleformer_tpu.ops.temporal_block_mega import mega_temporal_block
 
 
 def _resolve_attn_impl(impl: str, seq_len: int, kind: str = "axial") -> str:
@@ -102,6 +103,40 @@ class TemporalAttentionBlock(nn.Module):
         heads = self.num_heads
         d = c // heads
         inp = x
+
+        if self.attn_impl == "mega":
+            # Whole-branch megakernel (ops/temporal_block_mega.py): IN1 ->
+            # QKV Dense -> qk-LN -> T-attention -> IN2 -> output Dense in one
+            # pallas_call.  Parameter paths match the XLA path below, so
+            # checkpoints interchange across attn_impl settings.
+            bias_mod = make_bias_module(self.bias_type, heads)
+            bias = bias_mod(t, t) if bias_mod is not None else None
+            scale = (
+                self.param("attn_scale_factor", nn.initializers.ones, (heads,))
+                if self.attn_scale
+                else None
+            )
+            in1_s, in1_b = LayerNormParams(self.embed_dim, name="norm1")()
+            wqkv, bqkv = DenseParams(c, 3 * self.embed_dim, name="input_head")()
+            qn_scale, qn_bias = LayerNormParams(d, name="qnorm")()
+            kn_scale, kn_bias = LayerNormParams(d, name="knorm")()
+            in2_s, in2_b = LayerNormParams(self.embed_dim, name="norm2")()
+            wout, bout = DenseParams(
+                self.embed_dim, self.embed_dim, name="output_head"
+            )()
+            xin = x if self.dtype is None else x.astype(self.dtype)
+            out = mega_temporal_block(
+                xin, in1_s, in1_b, wqkv, bqkv, qn_scale, qn_bias, kn_scale,
+                kn_bias, in2_s, in2_b, wout, bout, bias, scale, heads=heads,
+            )
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.embed_dim,),
+            )
+            branch = out * gamma.astype(out.dtype)
+            rng = None if deterministic else self.make_rng("droppath")
+            return drop_path(branch, drop_path_rate, rng, deterministic) + inp
 
         x = InstanceNorm(self.embed_dim, name="norm1")(x)
         qkv = nn.Dense(3 * self.embed_dim, dtype=self.dtype, name="input_head")(x)

@@ -1,0 +1,146 @@
+"""Golden tests for the whole-branch temporal megakernel.
+
+``ops/temporal_block_mega.py`` runs the entire temporal-attention branch
+(InstanceNorm1 -> QKV Dense -> qk-LayerNorm -> T-axis attention with T5 bias
+and attn_scale -> InstanceNorm2 -> output Dense) in one pallas_call with a
+fully hand-written VJP.  These tests pin it against the plain XLA path of
+``TemporalAttentionBlock`` (itself golden-tested against the reference
+``bubbleformer/layers/attention.py:26-117``): identical parameter paths and
+init values, identical forward outputs, and matching gradients for every
+parameter and the input.  Runs in interpret mode on the CPU backend
+(conftest provisions it).
+"""
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import numpy as np
+import pytest
+
+from bubbleformer_tpu.layers.attention import TemporalAttentionBlock
+
+
+def _blocks(impl_a="plain", impl_b="mega", **kw):
+    defaults = dict(embed_dim=32, num_heads=4)
+    defaults.update(kw)
+    return (
+        TemporalAttentionBlock(attn_impl=impl_a, **defaults),
+        TemporalAttentionBlock(attn_impl=impl_b, **defaults),
+    )
+
+
+def test_temporal_mega_params_and_forward_match_plain():
+    """Identical init param paths/values and identical forward output."""
+    x = jnp.asarray(
+        np.random.default_rng(7)
+        .standard_normal((2, 3, 8, 8, 32))
+        .astype(np.float32)
+    )
+    plain, mega = _blocks()
+    vp = plain.init(jax.random.key(0), x)
+    vm = mega.init(jax.random.key(0), x)
+    pa = jtu.tree_leaves_with_path(vp)
+    pb = jtu.tree_leaves_with_path(vm)
+    assert [jtu.keystr(k) for k, _ in pa] == [jtu.keystr(k) for k, _ in pb]
+    for (k, a), (_, b) in zip(pa, pb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), err_msg=jtu.keystr(k)
+        )
+    np.testing.assert_allclose(
+        np.asarray(mega.apply(vm, x)),
+        np.asarray(plain.apply(vp, x)),
+        atol=1e-5,
+        rtol=1e-5,
+    )
+
+
+def test_temporal_mega_gradients_match_plain():
+    """Hand-written whole-branch VJP vs autodiff of the XLA path: gradients
+    for every parameter (Dense kernels/biases, InstanceNorm affines, qk-LN
+    affines, T5 bias table, attn_scale, gamma) and for the input."""
+    x = jnp.asarray(
+        np.random.default_rng(11)
+        .standard_normal((2, 3, 8, 16, 32))
+        .astype(np.float32)
+    )
+    cot = jnp.asarray(
+        np.random.default_rng(12)
+        .standard_normal((2, 3, 8, 16, 32))
+        .astype(np.float32)
+    )
+    plain, mega = _blocks()
+    grads, xgrads = {}, {}
+    for name, blk in [("plain", plain), ("mega", mega)]:
+        v = blk.init(jax.random.key(0), x)
+
+        def loss(params, xx):
+            return jnp.sum(blk.apply(params, xx) * cot)
+
+        grads[name], xgrads[name] = jax.grad(loss, argnums=(0, 1))(v, x)
+    ga = jtu.tree_leaves_with_path(grads["plain"])
+    gb = jtu.tree_leaves_with_path(grads["mega"])
+    assert [jtu.keystr(k) for k, _ in ga] == [jtu.keystr(k) for k, _ in gb]
+    for (k, a), (_, b) in zip(ga, gb):
+        s = max(float(jnp.abs(a).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a) / s,
+            np.asarray(b) / s,
+            atol=2e-5,
+            rtol=2e-4,
+            err_msg=jtu.keystr(k),
+        )
+    s = max(float(jnp.abs(xgrads["plain"]).max()), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(xgrads["plain"]) / s,
+        np.asarray(xgrads["mega"]) / s,
+        atol=2e-5,
+        rtol=2e-4,
+    )
+
+
+@pytest.mark.parametrize("bias_type,attn_scale", [("none", False), ("rel", True)])
+def test_temporal_mega_feature_toggles(bias_type, attn_scale):
+    """bias/scale off -> the kernel's zero-bias / unit-scale paths match."""
+    x = jnp.asarray(
+        np.random.default_rng(5)
+        .standard_normal((1, 2, 8, 8, 16))
+        .astype(np.float32)
+    )
+    plain, mega = _blocks(
+        embed_dim=16, num_heads=2, bias_type=bias_type, attn_scale=attn_scale
+    )
+    vp = plain.init(jax.random.key(1), x)
+    np.testing.assert_allclose(
+        np.asarray(mega.apply(vp, x)),
+        np.asarray(plain.apply(vp, x)),
+        atol=1e-5,
+        rtol=1e-5,
+    )
+
+
+def test_temporal_mega_under_remat():
+    """nn.remat over the mega path: value + grads finite and matching."""
+    from flax import linen as nn
+
+    x = jnp.asarray(
+        np.random.default_rng(9)
+        .standard_normal((1, 3, 8, 8, 16))
+        .astype(np.float32)
+    )
+    blk = TemporalAttentionBlock(embed_dim=16, num_heads=2, attn_impl="mega")
+    rblk = nn.remat(TemporalAttentionBlock)(
+        embed_dim=16, num_heads=2, attn_impl="mega"
+    )
+    v = blk.init(jax.random.key(0), x)
+
+    def loss(m, params):
+        return jnp.sum(m.apply(params, x) ** 2)
+
+    g_plain = jax.grad(lambda p: loss(blk, p))(v)
+    g_remat = jax.grad(lambda p: loss(rblk, p))(v)
+    for (k, a), (_, b) in zip(
+        jtu.tree_leaves_with_path(g_plain), jtu.tree_leaves_with_path(g_remat)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5,
+            err_msg=jtu.keystr(k),
+        )
