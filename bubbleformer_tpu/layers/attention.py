@@ -104,7 +104,8 @@ class TemporalAttentionBlock(nn.Module):
         d = c // heads
         inp = x
 
-        if self.attn_impl == "mega":
+        impl = _resolve_attn_impl(self.attn_impl, t, kind="temporal")
+        if impl == "mega":
             # Whole-branch megakernel (ops/temporal_block_mega.py): IN1 ->
             # QKV Dense -> qk-LN -> T-attention -> IN2 -> output Dense in one
             # pallas_call.  Parameter paths match the XLA path below, so
@@ -154,7 +155,6 @@ class TemporalAttentionBlock(nn.Module):
             if self.attn_scale
             else None
         )
-        impl = _resolve_attn_impl(self.attn_impl, t, kind="temporal")
         if impl in _PACKED_IMPLS:
             # (b, t, h, w, he, d) -> (he, b*h*w, t, d), pack tiny T-sequences
             # into MXU-sized super-sequences (see ops.packed_attention /
