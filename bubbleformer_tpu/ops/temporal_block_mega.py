@@ -331,6 +331,31 @@ def _bwd_kernel(
         ).astype(dx_ref.dtype)
 
 
+def mega_temporal_supported(t_len: int, h: int, w: int, c: int) -> bool:
+    """Shape gate for routing ``attn_impl='auto'`` to the megakernel.
+
+    The backward kernel keeps ~6 (C- or 3C-row, T*N-lane) scratches plus the
+    in/out blocks resident per grid step; require the working set to fit the
+    128 MiB VMEM budget with headroom, and keep lane counts sublane-aligned
+    so the circular rolls stay on fast paths.  Anything outside the envelope
+    falls back to the XLA ``unrolled`` path (correct at every shape).
+    """
+    n = h * w
+    tn = t_len * n
+    if n % 128 != 0:
+        return False
+    # bwd working set: qkv + dqkv (3C, T*N) bf16, dao/qhat/khat (C, T*N)
+    # f32, x/ao/do/dx blocks (C, T*N) bf16, weights and wide grad rows.
+    bytes_needed = (
+        2 * (3 * c) * tn * 2
+        + 3 * c * tn * 4
+        + 4 * c * tn * 2
+        + (3 * c * c + c * c) * 2
+        + 2 * (3 * c * c + c * c) * 4
+    )
+    return bytes_needed <= int(100e6)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_temporal_block(
     b: int, t_len: int, n: int, heads: int, d: int,

@@ -117,6 +117,40 @@ def test_temporal_mega_feature_toggles(bias_type, attn_scale):
     )
 
 
+def test_temporal_mega_nonsquare_grid():
+    """Non-square token grids (flow-boiling-shaped) and lane counts that are
+    not multiples of 128: forward + grads still match the plain path."""
+    x = jnp.asarray(
+        np.random.default_rng(21)
+        .standard_normal((1, 4, 12, 5, 16))
+        .astype(np.float32)
+    )
+    plain, mega = _blocks(embed_dim=16, num_heads=2)
+    v = plain.init(jax.random.key(2), x)
+    np.testing.assert_allclose(
+        np.asarray(mega.apply(v, x)),
+        np.asarray(plain.apply(v, x)),
+        atol=1e-5,
+        rtol=1e-5,
+    )
+    gp = jax.grad(lambda xx: jnp.sum(plain.apply(v, xx) ** 2))(x)
+    gm = jax.grad(lambda xx: jnp.sum(mega.apply(v, xx) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gm), atol=1e-5,
+                               rtol=1e-4)
+
+
+def test_mega_temporal_supported_gate():
+    """The auto-routing gate accepts the flagship shape and rejects
+    lane-misaligned or VMEM-overflowing ones."""
+    from bubbleformer_tpu.ops.temporal_block_mega import (
+        mega_temporal_supported,
+    )
+
+    assert mega_temporal_supported(5, 32, 32, 384)  # flagship 512^2/p16
+    assert not mega_temporal_supported(5, 12, 5, 384)  # n % 128 != 0
+    assert not mega_temporal_supported(5, 64, 64, 768)  # VMEM overflow
+
+
 def test_temporal_mega_under_remat():
     """nn.remat over the mega path: value + grads finite and matching."""
     from flax import linen as nn
