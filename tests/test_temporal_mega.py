@@ -151,6 +151,33 @@ def test_mega_temporal_supported_gate():
     assert not mega_temporal_supported(5, 64, 64, 768)  # VMEM overflow
 
 
+def test_mega_model_level_scan_and_unrolled():
+    """Both megakernels (temporal + axial, attn_impl='mega') inside the full
+    AViT under the unrolled and nn.scan block paths: outputs agree and
+    gradients are finite (scan + remat over pallas custom_vjp calls)."""
+    from bubbleformer_tpu.models.axial_vit import AViT
+
+    x = jnp.asarray(
+        np.random.default_rng(0)
+        .standard_normal((1, 2, 3, 16, 16))
+        .astype(np.float32)
+    )
+    outs = {}
+    for scan in [False, True]:
+        m = AViT(
+            input_fields=3, output_fields=3, time_window=2, embed_dim=32,
+            num_heads=4, processor_blocks=2, patch_size=4, attn_impl="mega",
+            scan_blocks=scan, drop_path=0.0,
+        )
+        v = m.init(jax.random.key(0), x)
+        outs[scan] = np.asarray(m.apply(v, x))
+        g = jax.grad(lambda p: jnp.sum(m.apply(p, x) ** 2))(v)
+        assert all(
+            np.isfinite(np.asarray(l)).all() for l in jtu.tree_leaves(g)
+        )
+    np.testing.assert_allclose(outs[True], outs[False], atol=5e-5, rtol=1e-4)
+
+
 def test_temporal_mega_under_remat():
     """nn.remat over the mega path: value + grads finite and matching."""
     from flax import linen as nn
