@@ -13,30 +13,38 @@ multiply-reduce fusions per step are this branch).  Per image the entire
 branch touches only ~4 MB of activations — it fits in VMEM whole.
 
 The kernel works in a **transposed, channels-first layout** ``(C, T*N)``
-(tokens along lanes, channels along sublanes), which makes every stage of
-this tiny-sequence attention natural for the hardware:
+(tokens along lanes, channels along sublanes) with every stage expressed as
+full-width slab ops — no per-head or per-timestep loops anywhere:
 
-* the projections become stationary-weight MXU matmuls
+* the projections are stationary-weight MXU matmuls
   ``W^T (3C, C) @ x (C, T*N)`` with ideal dimensions;
-* InstanceNorm / qk-LayerNorm statistics are single lane- or sublane-block
-  reductions over the whole image — no per-``t`` or per-head loop;
-* the T x T attention is batched over lanes with **lane rolls**: rolling
-  ``k``/``v`` left by ``r*N`` lanes aligns timestep ``(i+r) mod T`` under
-  timestep ``i``, so ONE multiply + sublane-reduce per offset ``r`` computes
-  the logits of every (position, i, j=(i+r)%T) pair at once — 5 rolled ops
-  replace the 25-pair unroll, and the T5 bias becomes a precomputed
-  per-offset lane table;
-* ``attn_scale`` window-mean blending, softmax and the probability-weighted
-  sum are all full-width (1, T*N) / (d, T*N) VPU ops.
+* qk-LayerNorm runs on a head-leading ``(heads, d, T*N)`` view of the QKV
+  rows (leading-dim reshape + one sublane-block mean), InstanceNorm on
+  per-``t`` lane blocks;
+* the T x T attention is batched over lanes with **lane rolls of the whole
+  k/v slab**: rolling the ``(2C, T*N)`` slab left by ``r*N`` lanes aligns
+  timestep ``(i+r) mod T`` under timestep ``i`` for every head at once, so
+  ONE multiply + segment-reduce per offset ``r`` computes the logits of
+  every (position, head, i, j=(i+r)%T) pair — T slab ops replace the
+  T^2-pair/per-head unroll.  Probabilities broadcast back to value rows
+  with ``pltpu.repeat``; the T5 bias is a precomputed per-offset lane
+  table; ``attn_scale`` blending is a per-head-constant column vector.
 
 The backward pass is fully hand-written in a second kernel: it recomputes
 the cheap forward chain flash-style (the attention output ``ao`` is saved as
-a second forward output to skip the IN2-input recompute), re-rolls the
-gradients back (``dk = sum_r roll(dl_r * q, +r*N)``), and accumulates every
-weight gradient in VMEM across the sequential batch grid — the pattern
-established by the axial megakernel (``ops/axial_block_mega.py``).  Bias and
-attn-scale gradients leave the kernel as wide per-lane rows that XLA reduces
-(cheap, once per block).
+a second forward output to skip the IN2-input recompute), rolls the k/v
+gradients back as one fused ``(2C, T*N)`` slab per offset
+(``dkv += roll([dl*q | p*dpv], +r*N)``), and accumulates every weight
+gradient in VMEM across the sequential batch grid — the pattern established
+by the axial megakernel (``ops/axial_block_mega.py``).  Bias and attn-scale
+gradients leave the kernel as wide per-lane rows that XLA reduces (cheap,
+once per block).
+
+A first, row-major per-(head, pair)-unrolled variant is recorded as a
+negative result in DESIGN.md: ~1200 trace statements of (N, 1)-shaped ops
+compiled >20 minutes and VMEM-OOMed at depth 12.  Lane-minor layouts waste
+128x on (N, 1) temporaries, and Mosaic compile time scales with statement
+count; this slab formulation is ~20x fewer statements, all full-width.
 
 Selectable as ``attn_impl='mega'`` on ``TemporalAttentionBlock``.  Parameter
 paths (``norm1/{scale,bias}``, ``input_head/{kernel,bias}``,
@@ -61,7 +69,7 @@ _LN_EPS = 1e-5
 def _in_fwd_t(x_t, aff_ref, t_len, n):
     """InstanceNorm in (C, T*N) layout: per-(t, channel) stats over the N
     lanes of each t block.  ``aff_ref``: (C, 2) [scale | bias] f32.  Returns
-    (y, xhat, inv) with xhat/inv in f32, per-t lane blocks."""
+    (y blocks, xhat blocks, inv blocks) in f32."""
     ys, xhats, invs = [], [], []
     for t in range(t_len):
         xt = x_t[:, t * n : (t + 1) * n].astype(jnp.float32)
@@ -96,48 +104,77 @@ def _roll_right(x, r, n, t_len):
     return pltpu.roll(x, shift=r * n, axis=1) if r else x
 
 
-def _qkln_rows(qkv_s, ln_ref, hd, d, which):
-    """qk-LayerNorm over the d sublanes of one head's q or k row block.
-
-    ``which``: 0 for q (affine cols 0/1), 1 for k (affine cols 2/3).
-    Returns (normed bf16-ready rows, xhat f32, inv f32 (1, T*N))."""
-    base = hd * 3 * d + which * d
-    raw = qkv_s[base : base + d, :].astype(jnp.float32)
-    mu = jnp.mean(raw, axis=0, keepdims=True)
-    var = jnp.maximum(jnp.mean(raw * raw, axis=0, keepdims=True) - mu * mu, 0.0)
-    inv = jax.lax.rsqrt(var + _LN_EPS)
-    xhat = (raw - mu) * inv
-    y = xhat * ln_ref[:, 2 * which : 2 * which + 1] + ln_ref[
-        :, 2 * which + 1 : 2 * which + 2
-    ]
-    return y, xhat, inv
+def _seg_sum(x, heads, d):
+    """(heads*d, L) -> per-head sublane-block sums (heads, L)."""
+    return jnp.sum(x.reshape(heads, d, x.shape[-1]), axis=1)
 
 
-def _head_attention_fwd(qkv_s, ln_ref, bias_ref, scale_ref, hd, t_len, n, d,
-                        save=None):
-    """T x T attention for one head in (d, T*N) layout via lane rolls.
+def _expand_heads(x, d):
+    """(heads, L) -> (heads*d, L): broadcast each head row over its d rows.
 
-    Returns (o, p_list, vroll_list, pv, vmean) — o is the attn_scale-blended
-    (d, T*N) f32 output; the rest are reused by the backward.  If ``save`` is
-    given as (qhat_s, khat_s, inv_s), LN residuals are stored for the bwd.
+    NOTE: ``pltpu.repeat`` has tile semantics ([r0 r1 r0 r1 ...]), not
+    numpy-repeat semantics — a leading-dim broadcast keeps head-major order.
     """
-    scaling = d**-0.5
-    q, qhat, qinv = _qkln_rows(qkv_s, ln_ref, hd, d, 0)
-    k, khat, kinv = _qkln_rows(qkv_s, ln_ref, hd, d, 1)
-    v = qkv_s[hd * 3 * d + 2 * d : hd * 3 * d + 3 * d, :].astype(jnp.float32)
-    if save is not None:
-        qhat_s, khat_s, inv_s = save
-        qhat_s[hd * d : (hd + 1) * d, :] = qhat
-        khat_s[hd * d : (hd + 1) * d, :] = khat
-        inv_s[2 * hd : 2 * hd + 1, :] = qinv
-        inv_s[2 * hd + 1 : 2 * hd + 2, :] = kinv
+    heads, l = x.shape
+    return jnp.broadcast_to(x.reshape(heads, 1, l), (heads, d, l)).reshape(
+        heads * d, l
+    )
 
-    logits, vrolls = [], []
+
+def _qkln_all(qkv, ln_ref, heads, d, which):
+    """qk-LayerNorm for ALL heads at once on the head-leading 3D view.
+
+    ``qkv``: the (3C, T*N) f32 projection output; ``which``: 0 for q
+    (affine cols 0/1), 1 for k (cols 2/3).  Returns (normed (C, T*N), xhat
+    (C, T*N), inv (heads, T*N))."""
+    tn = qkv.shape[-1]
+    comp = qkv.reshape(heads, 3, d, tn)[:, which]  # (heads, d, T*N)
+    mu = jnp.mean(comp, axis=1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(comp * comp, axis=1, keepdims=True) - mu * mu, 0.0
+    )
+    inv = jax.lax.rsqrt(var + _LN_EPS)
+    xhat = ((comp - mu) * inv).reshape(heads * d, tn)
+    g = ln_ref[:, 2 * which : 2 * which + 1]  # (d, 1)
+    b = ln_ref[:, 2 * which + 1 : 2 * which + 2]
+    y = xhat.reshape(heads, d, tn) * g + b
+    return y.reshape(heads * d, tn), xhat, inv[:, 0, :]
+
+
+def _stage_attention(qkv_s, ln_ref, q_s, kv_s, heads, d):
+    """Fill q_s (C, T*N) / kv_s (2C, T*N) head-major from the interleaved
+    QKV scratch, with qk-LayerNorm applied to q and k.  Returns the LN
+    residuals (qhat, khat, qinv, kinv) for the backward."""
+    tn = qkv_s.shape[-1]
+    qkv = qkv_s[...].astype(jnp.float32)
+    q, qhat, qinv = _qkln_all(qkv, ln_ref, heads, d, 0)
+    k, khat, kinv = _qkln_all(qkv, ln_ref, heads, d, 1)
+    v = qkv.reshape(heads, 3, d, tn)[:, 2].reshape(heads * d, tn)
+    q_s[...] = q.astype(q_s.dtype)
+    kv_s[0 : heads * d, :] = k.astype(kv_s.dtype)
+    kv_s[heads * d : 2 * heads * d, :] = v.astype(kv_s.dtype)
+    return qhat, khat, qinv, kinv
+
+
+def _attention_fwd(q_s, kv_s, bias_ref, scol_ref, t_len, n, heads, d):
+    """All-heads T x T attention via whole-slab lane rolls.
+
+    Returns (o, p_list, krolls, vrolls, pv, vmean): o is the
+    attn_scale-blended (C, T*N) f32 output; the lists are reused by the
+    backward."""
+    c = heads * d
+    scaling = d**-0.5
+    q = q_s[...].astype(jnp.float32)
+
+    logits, krolls, vrolls = [], [], []
     for r in range(t_len):
-        kr = _roll_left(k, r, n, t_len)
-        vrolls.append(_roll_left(v, r, n, t_len))
-        l = jnp.sum(q * kr, axis=0, keepdims=True) * scaling
-        logits.append(l + bias_ref[hd * t_len + r : hd * t_len + r + 1, :])
+        kv_r = _roll_left(kv_s[...], r, n, t_len).astype(jnp.float32)
+        k_r = kv_r[0:c]
+        v_r = kv_r[c : 2 * c]
+        krolls.append(k_r)
+        vrolls.append(v_r)
+        l = _seg_sum(q * k_r, heads, d) * scaling  # (heads, T*N)
+        logits.append(l + bias_ref[r * heads : (r + 1) * heads, :])
     m = logits[0]
     for r in range(1, t_len):
         m = jnp.maximum(m, logits[r])
@@ -148,27 +185,26 @@ def _head_attention_fwd(qkv_s, ln_ref, bias_ref, scale_ref, hd, t_len, n, d,
     inv_z = 1.0 / z
     p_list = [e * inv_z for e in exps]
 
-    pv = p_list[0] * vrolls[0]
+    pv = _expand_heads(p_list[0], d) * vrolls[0]
     vmean = vrolls[0]
     for r in range(1, t_len):
-        pv = pv + p_list[r] * vrolls[r]
+        pv = pv + _expand_heads(p_list[r], d) * vrolls[r]
         vmean = vmean + vrolls[r]
     vmean = vmean * (1.0 / t_len)
-    s = scale_ref[hd, 0]
+    s = scol_ref[...]  # (C, 1) per-head-constant column
     o = s * pv + (1.0 - s) * vmean
-    return o, p_list, vrolls, pv, vmean, q, k
+    return o, p_list, krolls, vrolls, pv, vmean
 
 
 def _fwd_kernel(
-    scale_ref, x_ref, in1_ref, wqkvt_ref, bqkv_ref, ln_ref, in2_ref,
-    woutt_ref, bout_ref, bias_ref, o_ref, ao_ref, qkv_s, ao_s,
+    x_ref, in1_ref, wqkvt_ref, bqkv_ref, ln_ref, in2_ref,
+    woutt_ref, bout_ref, bias_ref, scol_ref, o_ref, ao_ref,
+    qkv_s, q_s, kv_s, ao_s,
     *, t_len, n, heads, d,
 ):
-    c = heads * d
-
     # InstanceNorm1 + one stationary-weight QKV matmul (3C, C) @ (C, T*N).
     xn_blocks, _, _ = _in_fwd_t(x_ref[0], in1_ref, t_len, n)
-    xn = jnp.concatenate(xn_blocks, axis=1).astype(qkv_s.dtype)
+    xn = jnp.concatenate(xn_blocks, axis=1).astype(q_s.dtype)
     qkv_s[...] = (
         jax.lax.dot_general(
             wqkvt_ref[...], xn, (((1,), (0,)), ((), ())),
@@ -177,15 +213,13 @@ def _fwd_kernel(
         + bqkv_ref[...]
     ).astype(qkv_s.dtype)
 
-    for hd in range(heads):
-        o = _head_attention_fwd(
-            qkv_s, ln_ref, bias_ref, scale_ref, hd, t_len, n, d
-        )[0]
-        ao_s[hd * d : (hd + 1) * d, :] = o
+    _stage_attention(qkv_s, ln_ref, q_s, kv_s, heads, d)
+    o = _attention_fwd(q_s, kv_s, bias_ref, scol_ref, t_len, n, heads, d)[0]
+    ao_s[...] = o
 
-    ao_ref[0] = ao_s[...].astype(ao_ref.dtype)
+    ao_ref[0] = o.astype(ao_ref.dtype)
     y2_blocks, _, _ = _in_fwd_t(ao_s[...], in2_ref, t_len, n)
-    y2 = jnp.concatenate(y2_blocks, axis=1).astype(qkv_s.dtype)
+    y2 = jnp.concatenate(y2_blocks, axis=1).astype(q_s.dtype)
     out = jax.lax.dot_general(
         woutt_ref[...], y2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -194,11 +228,11 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    scale_ref, x_ref, in1_ref, wqkvt_ref, bqkv_ref, ln_ref, in2_ref,
-    woutt_ref, bout_ref, bias_ref, ao_ref, do_ref,
+    x_ref, in1_ref, wqkvt_ref, bqkv_ref, ln_ref, in2_ref,
+    woutt_ref, bout_ref, bias_ref, scol_ref, ao_ref, do_ref,
     dx_ref, din1_ref, dwqkvt_ref, dbqkv_ref, dln_ref, din2_ref,
     dwoutt_ref, dbout_ref, dbias_ref, dscale_ref,
-    qkv_s, dqkv_s, dao_s, qhat_s, khat_s, inv_s,
+    qkv_s, q_s, kv_s, dao_s,
     *, t_len, n, heads, d,
 ):
     b = pl.program_id(0)
@@ -217,9 +251,9 @@ def _bwd_kernel(
         dbias_ref[...] = jnp.zeros_like(dbias_ref[...])
         dscale_ref[...] = jnp.zeros_like(dscale_ref[...])
 
-    # ---- Recompute IN1 + QKV (flash-style) ----
+    # ---- Recompute IN1 + QKV + staging + attention (flash-style) ----
     xn_blocks, xhat1s, inv1s = _in_fwd_t(x_ref[0], in1_ref, t_len, n)
-    xn = jnp.concatenate(xn_blocks, axis=1).astype(qkv_s.dtype)
+    xn = jnp.concatenate(xn_blocks, axis=1).astype(q_s.dtype)
     qkv_s[...] = (
         jax.lax.dot_general(
             wqkvt_ref[...], xn, (((1,), (0,)), ((), ())),
@@ -227,10 +261,16 @@ def _bwd_kernel(
         )
         + bqkv_ref[...]
     ).astype(qkv_s.dtype)
+    qhat, khat, qinv, kinv = _stage_attention(
+        qkv_s, ln_ref, q_s, kv_s, heads, d
+    )
+    _, p_list, krolls, vrolls, pv, vmean = _attention_fwd(
+        q_s, kv_s, bias_ref, scol_ref, t_len, n, heads, d
+    )
 
     # ---- Output Dense + InstanceNorm2 backward -> dao ----
     y2_blocks, xhat2s, inv2s = _in_fwd_t(ao_ref[0], in2_ref, t_len, n)
-    y2 = jnp.concatenate(y2_blocks, axis=1).astype(qkv_s.dtype)
+    y2 = jnp.concatenate(y2_blocks, axis=1).astype(q_s.dtype)
     do = do_ref[0]
     # dW_out^T (C, C) = do (C, T*N) @ y2 (C, T*N)^T  (contract lanes).
     dwoutt_ref[...] += jax.lax.dot_general(
@@ -249,68 +289,67 @@ def _bwd_kernel(
         din2_ref[:, 1:2] += jnp.sum(dy2_t, axis=1, keepdims=True)
         dao_s[:, sl] = _in_bwd_t(dy2_t, xhat2s[t], inv2s[t], in2_ref)
 
-    # ---- Attention + qk-LN backward per head ----
-    for hd in range(heads):
-        _, p_list, vrolls, pv, vmean, q, k = _head_attention_fwd(
-            qkv_s, ln_ref, bias_ref, scale_ref, hd, t_len, n, d,
-            save=(qhat_s, khat_s, inv_s),
-        )
-        s = scale_ref[hd, 0]
-        dao_h = dao_s[hd * d : (hd + 1) * d, :]
-        # attn_scale: o = s*pv + (1-s)*vmean; ds leaves as a wide lane row.
-        dscale_ref[hd : hd + 1, :] += jnp.sum(
-            dao_h * (pv - vmean), axis=0, keepdims=True
-        )
-        dpv = s * dao_h
-        dp_list = [
-            jnp.sum(dpv * vrolls[r], axis=0, keepdims=True)
-            for r in range(t_len)
-        ]
-        inner = p_list[0] * dp_list[0]
-        for r in range(1, t_len):
-            inner = inner + p_list[r] * dp_list[r]
+    # ---- Attention backward: all heads at once, slab rolls ----
+    dao = dao_s[...]
+    s = scol_ref[...]
+    dscale_ref[...] += _seg_sum(dao * (pv - vmean), heads, d)
+    dpv = s * dao
 
-        dq = None
-        dk = None
-        dv = None
-        for r in range(t_len):
-            dl = p_list[r] * (dp_list[r] - inner)  # (1, T*N) f32
-            dbias_ref[hd * t_len + r : hd * t_len + r + 1, :] += dl
-            kr = _roll_left(k, r, n, t_len)
-            dq_c = dl * kr * scaling
-            dq = dq_c if dq is None else dq + dq_c
-            dk_c = _roll_right(dl * q * scaling, r, n, t_len)
-            dk = dk_c if dk is None else dk + dk_c
-            dv_c = _roll_right(p_list[r] * dpv, r, n, t_len)
-            dv = dv_c if dv is None else dv + dv_c
-        # vmean backward: every j receives (1-s)/T * sum_i dao_i.
-        bsum = dao_h[:, 0:n]
-        for t in range(1, t_len):
-            bsum = bsum + dao_h[:, t * n : (t + 1) * n]
-        bsum = bsum * ((1.0 - s) / t_len)
-        dv = dv + jnp.concatenate([bsum] * t_len, axis=1)
+    dp_list = [
+        _seg_sum(dpv * vrolls[r], heads, d) for r in range(t_len)
+    ]
+    inner = p_list[0] * dp_list[0]
+    for r in range(1, t_len):
+        inner = inner + p_list[r] * dp_list[r]
 
-        # qk-LayerNorm backward over the d sublanes (no t loop needed).
-        base = hd * 3 * d
-        for which, dy, xhat, col in (
-            (0, dq, qhat_s[hd * d : (hd + 1) * d, :], 0),
-            (1, dk, khat_s[hd * d : (hd + 1) * d, :], 2),
-        ):
-            dln_ref[:, col : col + 1] += jnp.sum(
-                dy * xhat, axis=1, keepdims=True
-            )
-            dln_ref[:, col + 1 : col + 2] += jnp.sum(dy, axis=1, keepdims=True)
-            dyg = dy * ln_ref[:, col : col + 1]
-            m1 = jnp.mean(dyg, axis=0, keepdims=True)
-            m2 = jnp.mean(dyg * xhat, axis=0, keepdims=True)
-            inv = inv_s[2 * hd + which : 2 * hd + which + 1, :]
-            dqkv_s[base + which * d : base + (which + 1) * d, :] = (
-                inv * (dyg - m1 - xhat * m2)
-            ).astype(dqkv_s.dtype)
-        dqkv_s[base + 2 * d : base + 3 * d, :] = dv.astype(dqkv_s.dtype)
+    q = q_s[...].astype(jnp.float32)
+    dq = None
+    dkv = None
+    for r in range(t_len):
+        dl = p_list[r] * (dp_list[r] - inner)  # (heads, T*N) f32
+        dbias_ref[r * heads : (r + 1) * heads, :] += dl
+        dl_e = _expand_heads(dl, d)
+        dq_c = dl_e * krolls[r] * scaling
+        dq = dq_c if dq is None else dq + dq_c
+        # One rolled (2C, T*N) slab carries both dk and dv contributions.
+        slab = jnp.concatenate(
+            [dl_e * q * scaling, _expand_heads(p_list[r], d) * dpv], axis=0
+        )
+        slab = _roll_right(slab, r, n, t_len)
+        dkv = slab if dkv is None else dkv + slab
+    dk = dkv[0:c]
+    dv = dkv[c : 2 * c]
+    # vmean backward: every j receives (1-s)/T * sum_i dao_i.
+    dmean = (1.0 - s) * dao * (1.0 / t_len)
+    bsum = dmean[:, 0:n]
+    for t in range(1, t_len):
+        bsum = bsum + dmean[:, t * n : (t + 1) * n]
+    dv = dv + jnp.concatenate([bsum] * t_len, axis=1)
+
+    # ---- qk-LayerNorm backward (all heads, head-leading 3D view) ----
+    tn = t_len * n
+    dqkv_parts = []
+    for which, dy, xhat, inv in ((0, dq, qhat, qinv), (1, dk, khat, kinv)):
+        col = 2 * which
+        dln_ref[:, col : col + 1] += jnp.sum(
+            (dy * xhat).reshape(heads, d, tn), axis=(0, 2)
+        ).reshape(d, 1)
+        dln_ref[:, col + 1 : col + 2] += jnp.sum(
+            dy.reshape(heads, d, tn), axis=(0, 2)
+        ).reshape(d, 1)
+        g = ln_ref[:, col : col + 1]  # (d, 1)
+        dyg = dy.reshape(heads, d, tn) * g
+        m1 = jnp.mean(dyg, axis=1, keepdims=True)
+        m2 = jnp.mean(dyg * xhat.reshape(heads, d, tn), axis=1, keepdims=True)
+        draw = inv.reshape(heads, 1, tn) * (
+            dyg - m1 - xhat.reshape(heads, d, tn) * m2
+        )
+        dqkv_parts.append(draw)
+    dqkv_parts.append(dv.reshape(heads, d, tn))
+    # Interleave back to the (heads, 3, d) row order of the QKV projection.
+    dqkv = jnp.stack(dqkv_parts, axis=1).reshape(3 * c, tn).astype(q_s.dtype)
 
     # ---- QKV Dense + InstanceNorm1 backward -> dx ----
-    dqkv = dqkv_s[...]
     # dW_qkv^T (3C, C) = dqkv (3C, T*N) @ xn (C, T*N)^T (contract lanes).
     dwqkvt_ref[...] += jax.lax.dot_general(
         dqkv, xn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -334,8 +373,8 @@ def _bwd_kernel(
 def mega_temporal_supported(t_len: int, h: int, w: int, c: int) -> bool:
     """Shape gate for routing ``attn_impl='auto'`` to the megakernel.
 
-    The backward kernel keeps ~6 (C- or 3C-row, T*N-lane) scratches plus the
-    in/out blocks resident per grid step; require the working set to fit the
+    The backward kernel keeps qkv/q/kv scratches plus rolled slab
+    temporaries resident per grid step; require the working set to fit the
     128 MiB VMEM budget with headroom, and keep lane counts sublane-aligned
     so the circular rolls stay on fast paths.  Anything outside the envelope
     falls back to the XLA ``unrolled`` path (correct at every shape).
@@ -344,15 +383,9 @@ def mega_temporal_supported(t_len: int, h: int, w: int, c: int) -> bool:
     tn = t_len * n
     if n % 128 != 0:
         return False
-    # bwd working set: qkv + dqkv (3C, T*N) bf16, dao/qhat/khat (C, T*N)
-    # f32, x/ao/do/dx blocks (C, T*N) bf16, weights and wide grad rows.
-    bytes_needed = (
-        2 * (3 * c) * tn * 2
-        + 3 * c * tn * 4
-        + 4 * c * tn * 2
-        + (3 * c * c + c * c) * 2
-        + 2 * (3 * c * c + c * c) * 4
-    )
+    # bwd working set: qkv + q + kv scratches (6C rows) bf16, dao f32,
+    # ~4 live f32 slab temporaries (rolled kv, dq, dkv, dqkv), blocks.
+    bytes_needed = 6 * c * tn * 2 + c * tn * 4 + 4 * 2 * c * tn * 4
     return bytes_needed <= int(100e6)
 
 
@@ -373,10 +406,9 @@ def _make_temporal_block(
         shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM
     )
     in_specs = [
-        pl.BlockSpec((heads, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         x_spec, const((c, 2)), const((3 * c, c)), const((3 * c, 1)),
         const((d, 4)), const((c, 2)), const((c, c)), const((c, 1)),
-        const((heads * t_len, tn)),
+        const((heads * t_len, tn)), const((c, 1)),
     ]
     kdims = dict(t_len=t_len, n=n, heads=heads, d=d)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024)
@@ -392,6 +424,8 @@ def _make_temporal_block(
         ],
         scratch_shapes=[
             pltpu.VMEM((3 * c, tn), dtype),
+            pltpu.VMEM((c, tn), dtype),
+            pltpu.VMEM((2 * c, tn), dtype),
             pltpu.VMEM((c, tn), jnp.float32),
         ],
         compiler_params=cparams,
@@ -421,38 +455,40 @@ def _make_temporal_block(
         ],
         scratch_shapes=[
             pltpu.VMEM((3 * c, tn), dtype),
-            pltpu.VMEM((3 * c, tn), dtype),
+            pltpu.VMEM((c, tn), dtype),
+            pltpu.VMEM((2 * c, tn), dtype),
             pltpu.VMEM((c, tn), jnp.float32),
-            pltpu.VMEM((c, tn), jnp.float32),
-            pltpu.VMEM((c, tn), jnp.float32),
-            pltpu.VMEM((2 * heads, tn), jnp.float32),
         ],
         compiler_params=cparams,
         interpret=interpret,
     )
 
     @jax.custom_vjp
-    def fused(x, in1, wqkvt, bqkv, ln, in2, woutt, bout, bias, scale):
-        out, _ = fwd_call(scale, x, in1, wqkvt, bqkv, ln, in2, woutt, bout,
-                          bias)
+    def fused(x, in1, wqkvt, bqkv, ln, in2, woutt, bout, bias, scol):
+        out, _ = fwd_call(x, in1, wqkvt, bqkv, ln, in2, woutt, bout, bias,
+                          scol)
         return out
 
-    def fused_fwd(x, in1, wqkvt, bqkv, ln, in2, woutt, bout, bias, scale):
-        out, ao = fwd_call(scale, x, in1, wqkvt, bqkv, ln, in2, woutt, bout,
-                           bias)
-        return out, (x, in1, wqkvt, bqkv, ln, in2, woutt, bout, bias, scale,
+    def fused_fwd(x, in1, wqkvt, bqkv, ln, in2, woutt, bout, bias, scol):
+        out, ao = fwd_call(x, in1, wqkvt, bqkv, ln, in2, woutt, bout, bias,
+                           scol)
+        return out, (x, in1, wqkvt, bqkv, ln, in2, woutt, bout, bias, scol,
                      ao)
 
     def fused_bwd(res, do):
-        (x, in1, wqkvt, bqkv, ln, in2, woutt, bout, bias, scale, ao) = res
+        (x, in1, wqkvt, bqkv, ln, in2, woutt, bout, bias, scol, ao) = res
         (dx, din1, dwqkvt, dbqkv, dln, din2, dwoutt, dbout, dbias_w,
-         dscale_w) = bwd_call(scale, x, in1, wqkvt, bqkv, ln, in2, woutt,
-                              bout, bias, ao, do)
-        # The kernel leaves the attn-scale gradient as wide per-lane rows;
-        # finish the lane reduction here (XLA, fused into the surrounding
-        # backward).  dbias_w already matches the lane-table primal shape.
+         dscale_w) = bwd_call(x, in1, wqkvt, bqkv, ln, in2, woutt, bout,
+                              bias, scol, ao, do)
+        # The kernel leaves the attn-scale gradient as wide (heads, T*N)
+        # rows; finish the lane reduction and broadcast back to the
+        # per-head-constant (C, 1) column primal here in XLA.
+        d = x.shape[1] // dscale_w.shape[0]
+        dscol = jnp.repeat(
+            jnp.sum(dscale_w, axis=1, keepdims=True), d, axis=0
+        ) / jnp.float32(d)
         return (dx, din1, dwqkvt, dbqkv, dln, din2, dwoutt, dbout, dbias_w,
-                jnp.sum(dscale_w, axis=1, keepdims=True))
+                dscol)
 
     fused.defvjp(fused_fwd, fused_bwd)
     return fused
@@ -485,8 +521,8 @@ def mega_temporal_block(
     semantics for every stage (reference chain
     ``bubbleformer/layers/attention.py:26-117``).  The kernel works in the
     transposed ``(C, T*N)`` layout; this wrapper does the (cheap, XLA-side)
-    relayout, T5-bias lane-table precomputation and the final reduction of
-    the wide bias/scale gradient rows.
+    relayout, the T5-bias lane-table and attn-scale column precomputation,
+    and the final reduction of the wide bias/scale gradient rows.
     """
     b, t_len, h, w, c = x.shape
     if heads is None:
@@ -509,14 +545,11 @@ def mega_temporal_block(
         ],
         axis=1,
     )
-    # Per-offset T5 bias lane table: row (hd*T + r) carries bias[hd, i,
-    # (i+r) % T] broadcast over the N lanes of each i block (built inside
-    # ``branch`` so the table construction sits under autodiff).
     i_idx = jnp.arange(t_len)
     scale = (
-        jnp.ones((heads, 1), f32)
+        jnp.ones((heads,), f32)
         if scale_factor is None
-        else scale_factor.astype(f32).reshape(heads, 1)
+        else scale_factor.astype(f32)
     )
 
     xt = x.reshape(b, tn, c).transpose(0, 2, 1)
@@ -526,8 +559,10 @@ def mega_temporal_block(
     )
 
     # Wrap the kernel so bias/scale enter/leave in their module-native
-    # shapes; the wide-row gradient reduction and the T5 (i, j) remap happen
-    # here in XLA (once per block backward, trivially fused).
+    # shapes: the per-offset T5 lane table (row r*heads + hd carries
+    # bias[hd, i, (i+r) % T] over the N lanes of each i block) and the
+    # per-head-constant (C, 1) scale column are built under autodiff, so
+    # their parameter gradients come out of the table/column VJPs.
     def branch(xt, in1, wqkvt, bqkv, ln, in2, woutt, bout, bias_p, scale_p):
         if bias_p is None:
             bias_t = jnp.zeros((heads * t_len, tn), f32)
@@ -537,11 +572,12 @@ def mega_temporal_block(
                 for r in range(t_len)
             ]
             bias_t = jnp.repeat(
-                jnp.stack(rows, axis=1).reshape(heads * t_len, t_len), n,
+                jnp.stack(rows, axis=0).reshape(t_len * heads, t_len), n,
                 axis=1,
             )
+        scol = jnp.repeat(scale_p.reshape(heads, 1), d, axis=0)
         return fused(xt, in1, wqkvt, bqkv, ln, in2, woutt, bout, bias_t,
-                     scale_p)
+                     scol)
 
     out_t = branch(
         xt,
