@@ -125,17 +125,21 @@ class TemporalAttentionBlock(nn.Module):
             wout, bout = DenseParams(
                 self.embed_dim, self.embed_dim, name="output_head"
             )()
-            xin = x if self.dtype is None else x.astype(self.dtype)
-            out = mega_temporal_block(
-                xin, in1_s, in1_b, wqkv, bqkv, qn_scale, qn_bias, kn_scale,
-                kn_bias, in2_s, in2_b, wout, bout, bias, scale, heads=heads,
-            )
             gamma = self.param(
                 "gamma",
                 nn.initializers.constant(self.layer_scale_init_value),
                 (self.embed_dim,),
             )
-            branch = out * gamma.astype(out.dtype)
+            xin = x if self.dtype is None else x.astype(self.dtype)
+            # LayerScale folds into the output projection exactly
+            # (Dense(y) * gamma == y @ (W * gamma) + b * gamma), saving one
+            # full-tensor multiply per block; gamma's gradient flows through
+            # the scaled-weight VJP in f32.
+            branch = mega_temporal_block(
+                xin, in1_s, in1_b, wqkv, bqkv, qn_scale, qn_bias, kn_scale,
+                kn_bias, in2_s, in2_b, wout * gamma[None, :], bout * gamma,
+                bias, scale, heads=heads,
+            )
             rng = None if deterministic else self.make_rng("droppath")
             return drop_path(branch, drop_path_rate, rng, deterministic) + inp
 
