@@ -36,17 +36,27 @@ from bubbleformer_tpu.ops.axial_fused import fused_axial_attention
 from bubbleformer_tpu.ops.axial_fused_block import fused_block_attention
 from bubbleformer_tpu.ops.axial_fused_packed import fused_axial_attention_packed
 from bubbleformer_tpu.ops.axial_pallas import flash_packed_attention
-from bubbleformer_tpu.ops.temporal_block_mega import mega_temporal_block
+from bubbleformer_tpu.ops.temporal_block_mega import (
+    mega_temporal_block,
+    mega_temporal_supported,
+)
 
 
-def _resolve_attn_impl(impl: str, seq_len: int, kind: str = "axial") -> str:
+def _resolve_attn_impl(
+    impl: str,
+    seq_len: int,
+    kind: str = "axial",
+    shape: tuple[int, int, int, int] | None = None,
+) -> str:
     """Resolve the 'auto' attention implementation, shape- and kind-aware.
 
     Measured on v5e (512^2/patch-16 flagship, 12-block stacks, fwd+bwd):
 
-    * temporal (T ~ 5): trace-time-``unrolled`` VPU multiply-reduces cut the
-      stack from 100.4 to 49.1 ms vs plain batched dot_general — tiny
-      sequences never touch the MXU and need no relayouts.
+    * temporal (T ~ 5): the whole-branch megakernel
+      (``ops/temporal_block_mega.py``, lane-major (C, T*N) layout) runs the
+      12-stack in 17.0 ms vs 49.1 for trace-time-``unrolled`` VPU
+      multiply-reduces and 100.4 for plain batched dot_general — the XLA
+      formulations are op-count/dispatch-bound on tiny-T attention.
     * axial (seq 32): the round-1 relayout-based kernels *lose* to plain
       (flash 120.7 / packed 140.5 vs plain 92.3 ms), and the natural-layout
       row+column kernels only drew level once the kernel boundary moved to
@@ -54,17 +64,24 @@ def _resolve_attn_impl(impl: str, seq_len: int, kind: str = "axial") -> str:
       (``fused_block``: depth-4 axial stack 30.4 ms vs plain 33.4 vs
       fused_packed 43.4 — ABLATIONS_r02.json).
 
-    'auto' resolves: temporal -> unrolled for seq <= 8, else plain off-TPU or
-    flash on TPU at seq >= 64; axial -> fused_block on TPU (plain off-TPU:
-    interpret-mode pallas is orders slower and XLA:CPU fuses fine).  All
-    impls remain directly selectable and numerically identical (golden
-    tests).
+    'auto' resolves: temporal -> mega on TPU when the shape fits its VMEM
+    envelope (``mega_temporal_supported``), else unrolled for seq <= 8, else
+    plain off-TPU or flash on TPU at seq >= 64; axial -> fused_block on TPU
+    (plain off-TPU: interpret-mode pallas is orders slower and XLA:CPU fuses
+    fine).  All impls remain directly selectable and numerically identical
+    (golden tests).
     """
     if impl == "auto":
         import jax as _jax
 
         on_tpu = _jax.default_backend() == "tpu"
         if kind == "temporal":
+            if (
+                on_tpu
+                and shape is not None
+                and mega_temporal_supported(seq_len, *shape[1:])
+            ):
+                return "mega"
             if seq_len <= 8:
                 return "unrolled"
             return "flash" if on_tpu and seq_len >= 64 else "plain"
@@ -104,7 +121,9 @@ class TemporalAttentionBlock(nn.Module):
         d = c // heads
         inp = x
 
-        impl = _resolve_attn_impl(self.attn_impl, t, kind="temporal")
+        impl = _resolve_attn_impl(
+            self.attn_impl, t, kind="temporal", shape=(t, h, w, c)
+        )
         if impl == "mega":
             # Whole-branch megakernel (ops/temporal_block_mega.py): IN1 ->
             # QKV Dense -> qk-LN -> T-attention -> IN2 -> output Dense in one

@@ -69,8 +69,13 @@ _LN_EPS = 1e-5
 def _in_fwd_t(x_t, aff_ref, t_len, n):
     """InstanceNorm in (C, T*N) layout: per-(t, channel) stats over the N
     lanes of each t block.  ``aff_ref``: (C, 2) [scale | bias] f32.  Returns
-    (y blocks, xhat blocks, inv blocks) in f32."""
-    ys, xhats, invs = [], [], []
+    (y blocks f32, mu blocks (C, 1), inv blocks (C, 1)).
+
+    Only the tiny per-channel stats are returned — the backward recomputes
+    ``xhat = (x - mu) * inv`` on demand instead of carrying (C, N) xhat
+    slabs, which is what blew the register budget in the first bwd kernel
+    (100 MiB of spill slots)."""
+    ys, mus, invs = [], [], []
     for t in range(t_len):
         xt = x_t[:, t * n : (t + 1) * n].astype(jnp.float32)
         mu = jnp.mean(xt, axis=1, keepdims=True)
@@ -78,11 +83,10 @@ def _in_fwd_t(x_t, aff_ref, t_len, n):
             jnp.mean(xt * xt, axis=1, keepdims=True) - mu * mu, 0.0
         )
         inv = jax.lax.rsqrt(var + _IN_EPS)
-        xhat = (xt - mu) * inv
-        ys.append(xhat * aff_ref[:, 0:1] + aff_ref[:, 1:2])
-        xhats.append(xhat)
+        ys.append((xt - mu) * inv * aff_ref[:, 0:1] + aff_ref[:, 1:2])
+        mus.append(mu)
         invs.append(inv)
-    return ys, xhats, invs
+    return ys, mus, invs
 
 
 def _in_bwd_t(dy, xhat, inv, aff_ref):
@@ -94,14 +98,24 @@ def _in_bwd_t(dy, xhat, inv, aff_ref):
 
 
 def _roll_left(x, r, n, t_len):
-    """Circular lane roll moving block i+r under block i (non-negative-shift
-    form required by pltpu.roll)."""
-    return pltpu.roll(x, shift=(t_len - r) * n, axis=1) if r else x
+    """Circular lane roll moving block i+r under block i.
+
+    Expressed as two static lane slices + concat rather than ``pltpu.roll``:
+    the shifts are trace-time constants, and Mosaic lowers roll to
+    ``tpu.dynamic_rotate`` which is unimplemented for sub-32-bit data (the
+    k/v slab is bf16)."""
+    if not r:
+        return x
+    cut = r * n
+    return jnp.concatenate([x[:, cut:], x[:, :cut]], axis=1)
 
 
 def _roll_right(x, r, n, t_len):
     """Inverse of :func:`_roll_left`."""
-    return pltpu.roll(x, shift=r * n, axis=1) if r else x
+    if not r:
+        return x
+    cut = (t_len - r) * n
+    return jnp.concatenate([x[:, cut:], x[:, :cut]], axis=1)
 
 
 def _seg_sum(x, heads, d):
@@ -125,8 +139,9 @@ def _qkln_all(qkv, ln_ref, heads, d, which):
     """qk-LayerNorm for ALL heads at once on the head-leading 3D view.
 
     ``qkv``: the (3C, T*N) f32 projection output; ``which``: 0 for q
-    (affine cols 0/1), 1 for k (cols 2/3).  Returns (normed (C, T*N), xhat
-    (C, T*N), inv (heads, T*N))."""
+    (affine cols 0/1), 1 for k (cols 2/3).  Returns (normed (C, T*N), mu
+    (heads, T*N), inv (heads, T*N)) — xhat is recomputed from the stats in
+    the backward rather than carried as a live slab."""
     tn = qkv.shape[-1]
     comp = qkv.reshape(heads, 3, d, tn)[:, which]  # (heads, d, T*N)
     mu = jnp.mean(comp, axis=1, keepdims=True)
@@ -134,46 +149,45 @@ def _qkln_all(qkv, ln_ref, heads, d, which):
         jnp.mean(comp * comp, axis=1, keepdims=True) - mu * mu, 0.0
     )
     inv = jax.lax.rsqrt(var + _LN_EPS)
-    xhat = ((comp - mu) * inv).reshape(heads * d, tn)
+    xhat = (comp - mu) * inv  # (heads, d, T*N)
     g = ln_ref[:, 2 * which : 2 * which + 1]  # (d, 1)
     b = ln_ref[:, 2 * which + 1 : 2 * which + 2]
-    y = xhat.reshape(heads, d, tn) * g + b
-    return y.reshape(heads * d, tn), xhat, inv[:, 0, :]
+    y = xhat * g + b
+    return y.reshape(heads * d, tn), mu[:, 0, :], inv[:, 0, :]
 
 
 def _stage_attention(qkv_s, ln_ref, q_s, kv_s, heads, d):
     """Fill q_s (C, T*N) / kv_s (2C, T*N) head-major from the interleaved
-    QKV scratch, with qk-LayerNorm applied to q and k.  Returns the LN
-    residuals (qhat, khat, qinv, kinv) for the backward."""
+    QKV scratch, with qk-LayerNorm applied to q and k.  Returns the small
+    per-head LN stats (qmu, qinv, kmu, kinv), each (heads, T*N)."""
     tn = qkv_s.shape[-1]
     qkv = qkv_s[...].astype(jnp.float32)
-    q, qhat, qinv = _qkln_all(qkv, ln_ref, heads, d, 0)
-    k, khat, kinv = _qkln_all(qkv, ln_ref, heads, d, 1)
+    q, qmu, qinv = _qkln_all(qkv, ln_ref, heads, d, 0)
+    k, kmu, kinv = _qkln_all(qkv, ln_ref, heads, d, 1)
     v = qkv.reshape(heads, 3, d, tn)[:, 2].reshape(heads * d, tn)
     q_s[...] = q.astype(q_s.dtype)
     kv_s[0 : heads * d, :] = k.astype(kv_s.dtype)
     kv_s[heads * d : 2 * heads * d, :] = v.astype(kv_s.dtype)
-    return qhat, khat, qinv, kinv
+    return qmu, qinv, kmu, kinv
 
 
 def _attention_fwd(q_s, kv_s, bias_ref, scol_ref, t_len, n, heads, d):
     """All-heads T x T attention via whole-slab lane rolls.
 
-    Returns (o, p_list, krolls, vrolls, pv, vmean): o is the
-    attn_scale-blended (C, T*N) f32 output; the lists are reused by the
-    backward."""
+    Returns (o, p_list, pv, vmean): o is the attn_scale-blended (C, T*N)
+    f32 output.  The rolled k/v slabs are deliberately NOT returned: keeping
+    2*t_len f32 (C, T*N) slabs live across the backward blew the 128 MiB
+    VMEM budget (measured 142.2 MiB at the flagship shape); the backward
+    re-rolls the bf16 kv scratch per offset instead — a lane shuffle is far
+    cheaper than the VMEM it would pin."""
     c = heads * d
     scaling = d**-0.5
     q = q_s[...].astype(jnp.float32)
 
-    logits, krolls, vrolls = [], [], []
+    logits = []
     for r in range(t_len):
-        kv_r = _roll_left(kv_s[...], r, n, t_len).astype(jnp.float32)
-        k_r = kv_r[0:c]
-        v_r = kv_r[c : 2 * c]
-        krolls.append(k_r)
-        vrolls.append(v_r)
-        l = _seg_sum(q * k_r, heads, d) * scaling  # (heads, T*N)
+        k_r = _roll_left(kv_s[0:c, :], r, n, t_len)  # bf16 lane shuffle
+        l = _seg_sum(q * k_r, heads, d) * scaling  # (heads, T*N) f32
         logits.append(l + bias_ref[r * heads : (r + 1) * heads, :])
     m = logits[0]
     for r in range(1, t_len):
@@ -185,15 +199,40 @@ def _attention_fwd(q_s, kv_s, bias_ref, scol_ref, t_len, n, heads, d):
     inv_z = 1.0 / z
     p_list = [e * inv_z for e in exps]
 
-    pv = _expand_heads(p_list[0], d) * vrolls[0]
-    vmean = vrolls[0]
-    for r in range(1, t_len):
-        pv = pv + _expand_heads(p_list[r], d) * vrolls[r]
-        vmean = vmean + vrolls[r]
+    pv = None
+    vmean = None
+    for r in range(t_len):
+        v_r = _roll_left(kv_s[c : 2 * c, :], r, n, t_len)
+        pv_c = _expand_heads(p_list[r], d) * v_r
+        pv = pv_c if pv is None else pv + pv_c
+        vmean = v_r.astype(jnp.float32) if vmean is None else vmean + v_r
     vmean = vmean * (1.0 / t_len)
     s = scol_ref[...]  # (C, 1) per-head-constant column
     o = s * pv + (1.0 - s) * vmean
-    return o, p_list, krolls, vrolls, pv, vmean
+    return o, p_list, pv, vmean
+
+
+def _attention_probs(q, kv_s, bias_ref, t_len, n, heads, d):
+    """Recompute just the softmax probabilities: T tiny (heads, T*N) rows.
+
+    Backward-pass helper — unlike :func:`_attention_fwd` it materializes no
+    (C, T*N) value slabs (pv/vmean/o), only per-head logit rows."""
+    c = heads * d
+    scaling = d**-0.5
+    logits = []
+    for r in range(t_len):
+        k_r = _roll_left(kv_s[0:c, :], r, n, t_len)
+        l = _seg_sum(q * k_r, heads, d) * scaling
+        logits.append(l + bias_ref[r * heads : (r + 1) * heads, :])
+    m = logits[0]
+    for r in range(1, t_len):
+        m = jnp.maximum(m, logits[r])
+    exps = [jnp.exp(l - m) for l in logits]
+    z = exps[0]
+    for r in range(1, t_len):
+        z = z + exps[r]
+    inv_z = 1.0 / z
+    return [e * inv_z for e in exps]
 
 
 def _fwd_kernel(
@@ -232,12 +271,28 @@ def _bwd_kernel(
     woutt_ref, bout_ref, bias_ref, scol_ref, ao_ref, do_ref,
     dx_ref, din1_ref, dwqkvt_ref, dbqkv_ref, dln_ref, din2_ref,
     dwoutt_ref, dbout_ref, dbias_ref, dscale_ref,
-    qkv_s, q_s, kv_s, dao_s,
+    qkv_s, q_s, kv_s, dao_s, dkv_s,
     *, t_len, n, heads, d,
 ):
+    """Whole-branch backward, register-budget-aware.
+
+    The first version of this kernel carried every recomputed slab (qhat,
+    khat, pv, vmean, dpv, the stacked dqkv) as live values and spilled
+    100 MiB of registers (VMEM OOM at the flagship shape, log in DESIGN.md).
+    This version keeps only per-head ROWS live across stages:
+
+    * LN/IN residuals are (rows of) stats; xhat slabs recompute on demand;
+    * with ``w_r = seg_sum(dao * v_r)`` per offset, both ``dp_r = s_h*w_r``
+      and the attn-scale gradient ``sum_r (p_r - 1/T) * w_r`` are row
+      algebra — pv/vmean/dpv never materialize;
+    * dk/dv accumulate into an explicit f32 scratch and dqkv is written
+      per-head INTO the (dead) QKV scratch instead of a stacked register.
+    """
     b = pl.program_id(0)
     c = heads * d
+    tn = t_len * n
     scaling = d**-0.5
+    f32 = jnp.float32
 
     @pl.when(b == 0)
     def _():
@@ -251,122 +306,146 @@ def _bwd_kernel(
         dbias_ref[...] = jnp.zeros_like(dbias_ref[...])
         dscale_ref[...] = jnp.zeros_like(dscale_ref[...])
 
-    # ---- Recompute IN1 + QKV + staging + attention (flash-style) ----
-    xn_blocks, xhat1s, inv1s = _in_fwd_t(x_ref[0], in1_ref, t_len, n)
-    xn = jnp.concatenate(xn_blocks, axis=1).astype(q_s.dtype)
+    # ---- Recompute IN1 + QKV projection + q/k/v staging ----
+    xn_blocks, _, _ = _in_fwd_t(x_ref[0], in1_ref, t_len, n)
     qkv_s[...] = (
         jax.lax.dot_general(
-            wqkvt_ref[...], xn, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            wqkvt_ref[...],
+            jnp.concatenate(xn_blocks, axis=1).astype(q_s.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
         )
         + bqkv_ref[...]
     ).astype(qkv_s.dtype)
-    qhat, khat, qinv, kinv = _stage_attention(
+    qmu, qinv, kmu, kinv = _stage_attention(
         qkv_s, ln_ref, q_s, kv_s, heads, d
     )
-    _, p_list, krolls, vrolls, pv, vmean = _attention_fwd(
-        q_s, kv_s, bias_ref, scol_ref, t_len, n, heads, d
-    )
 
-    # ---- Output Dense + InstanceNorm2 backward -> dao ----
-    y2_blocks, xhat2s, inv2s = _in_fwd_t(ao_ref[0], in2_ref, t_len, n)
+    # ---- Output Dense + InstanceNorm2 backward -> dao (scratch) ----
+    y2_blocks, mu2s, inv2s = _in_fwd_t(ao_ref[0], in2_ref, t_len, n)
     y2 = jnp.concatenate(y2_blocks, axis=1).astype(q_s.dtype)
     do = do_ref[0]
     # dW_out^T (C, C) = do (C, T*N) @ y2 (C, T*N)^T  (contract lanes).
     dwoutt_ref[...] += jax.lax.dot_general(
-        do, y2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do, y2, (((1,), (1,)), ((), ())), preferred_element_type=f32
     )
-    dbout_ref[...] += jnp.sum(do.astype(jnp.float32), axis=1, keepdims=True)
+    dbout_ref[...] += jnp.sum(do.astype(f32), axis=1, keepdims=True)
     # dy2 (C, T*N) = W_out (C, C) @ do: contract the out-channel dim of both.
     dy2 = jax.lax.dot_general(
         woutt_ref[...], do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=f32,
     )
     for t in range(t_len):
         sl = slice(t * n, (t + 1) * n)
         dy2_t = dy2[:, sl]
-        din2_ref[:, 0:1] += jnp.sum(dy2_t * xhat2s[t], axis=1, keepdims=True)
+        xhat2_t = (ao_ref[0][:, sl].astype(f32) - mu2s[t]) * inv2s[t]
+        din2_ref[:, 0:1] += jnp.sum(dy2_t * xhat2_t, axis=1, keepdims=True)
         din2_ref[:, 1:2] += jnp.sum(dy2_t, axis=1, keepdims=True)
-        dao_s[:, sl] = _in_bwd_t(dy2_t, xhat2s[t], inv2s[t], in2_ref)
-
-    # ---- Attention backward: all heads at once, slab rolls ----
-    dao = dao_s[...]
-    s = scol_ref[...]
-    dscale_ref[...] += _seg_sum(dao * (pv - vmean), heads, d)
-    dpv = s * dao
-
-    dp_list = [
-        _seg_sum(dpv * vrolls[r], heads, d) for r in range(t_len)
-    ]
-    inner = p_list[0] * dp_list[0]
-    for r in range(1, t_len):
-        inner = inner + p_list[r] * dp_list[r]
-
-    q = q_s[...].astype(jnp.float32)
-    dq = None
-    dkv = None
-    for r in range(t_len):
-        dl = p_list[r] * (dp_list[r] - inner)  # (heads, T*N) f32
-        dbias_ref[r * heads : (r + 1) * heads, :] += dl
-        dl_e = _expand_heads(dl, d)
-        dq_c = dl_e * krolls[r] * scaling
-        dq = dq_c if dq is None else dq + dq_c
-        # One rolled (2C, T*N) slab carries both dk and dv contributions.
-        slab = jnp.concatenate(
-            [dl_e * q * scaling, _expand_heads(p_list[r], d) * dpv], axis=0
+        dao_s[:, sl] = _in_bwd_t(dy2_t, xhat2_t, inv2s[t], in2_ref).astype(
+            dao_s.dtype
         )
-        slab = _roll_right(slab, r, n, t_len)
-        dkv = slab if dkv is None else dkv + slab
-    dk = dkv[0:c]
-    dv = dkv[c : 2 * c]
+
+    # ---- Attention backward: all heads at once, row algebra ----
+    q = q_s[...].astype(f32)
+    p_list = _attention_probs(q, kv_s, bias_ref, t_len, n, heads, d)
+    s = scol_ref[...]  # (C, 1) per-head-constant column
+    s_h = s.reshape(heads, d, 1)[:, 0]  # (heads, 1)
+
+    # One per-offset row w_r = seg_sum(dao * v_r) carries everything:
+    # dp_r = s_h * w_r, and dscale = sum_r (p_r - 1/T) * w_r.
+    w_list = []
+    dscale = None
+    for r in range(t_len):
+        v_r = _roll_left(kv_s[c : 2 * c, :], r, n, t_len)
+        w_r = _seg_sum(dao_s[...].astype(f32) * v_r, heads, d)
+        w_list.append(w_r)
+        ds_c = (p_list[r] - 1.0 / t_len) * w_r
+        dscale = ds_c if dscale is None else dscale + ds_c
+    dscale_ref[...] += dscale
+    inner = None
+    for r in range(t_len):
+        in_c = p_list[r] * (s_h * w_list[r])
+        inner = in_c if inner is None else inner + in_c
+
     # vmean backward: every j receives (1-s)/T * sum_i dao_i.
-    dmean = (1.0 - s) * dao * (1.0 / t_len)
+    dmean = (1.0 - s) * dao_s[...].astype(f32) * (1.0 / t_len)
     bsum = dmean[:, 0:n]
     for t in range(1, t_len):
         bsum = bsum + dmean[:, t * n : (t + 1) * n]
-    dv = dv + jnp.concatenate([bsum] * t_len, axis=1)
 
-    # ---- qk-LayerNorm backward (all heads, head-leading 3D view) ----
-    tn = t_len * n
-    dqkv_parts = []
-    for which, dy, xhat, inv in ((0, dq, qhat, qinv), (1, dk, khat, kinv)):
+    sdao = (s * dao_s[...].astype(f32)).astype(q_s.dtype)
+    dq = None
+    dkv_s[...] = jnp.zeros_like(dkv_s[...])
+    for r in range(t_len):
+        dl = p_list[r] * (s_h * w_list[r] - inner)  # (heads, T*N) f32
+        dbias_ref[r * heads : (r + 1) * heads, :] += dl
+        dl_e = _expand_heads(dl, d)
+        dq_c = dl_e * _roll_left(kv_s[0:c, :], r, n, t_len) * scaling
+        dq = dq_c if dq is None else dq + dq_c
+        dkv_s[0:c, :] += _roll_right(dl_e * q * scaling, r, n, t_len)
+        dkv_s[c : 2 * c, :] += _roll_right(
+            _expand_heads(p_list[r], d) * sdao, r, n, t_len
+        ).astype(f32)
+
+    # ---- qk-LayerNorm backward; dqkv written in place over qkv_s ----
+    # Component rows of the interleaved (heads, 3, d) QKV layout are
+    # disjoint, so q rows can be overwritten while k's are still read.
+    for which, dy3, mu, inv in (
+        (0, dq.reshape(heads, d, tn), qmu, qinv),
+        (1, None, kmu, kinv),
+    ):
+        if dy3 is None:
+            dy3 = dkv_s[0:c, :].reshape(heads, d, tn)
         col = 2 * which
-        dln_ref[:, col : col + 1] += jnp.sum(
-            (dy * xhat).reshape(heads, d, tn), axis=(0, 2)
-        ).reshape(d, 1)
-        dln_ref[:, col + 1 : col + 2] += jnp.sum(
-            dy.reshape(heads, d, tn), axis=(0, 2)
-        ).reshape(d, 1)
-        g = ln_ref[:, col : col + 1]  # (d, 1)
-        dyg = dy.reshape(heads, d, tn) * g
-        m1 = jnp.mean(dyg, axis=1, keepdims=True)
-        m2 = jnp.mean(dyg * xhat.reshape(heads, d, tn), axis=1, keepdims=True)
-        draw = inv.reshape(heads, 1, tn) * (
-            dyg - m1 - xhat.reshape(heads, d, tn) * m2
+        comp = qkv_s[...].astype(f32).reshape(heads, 3, d, tn)[:, which]
+        xhat = (comp - mu.reshape(heads, 1, tn)) * inv.reshape(heads, 1, tn)
+        dln_ref[:, col : col + 1] += jnp.sum(dy3 * xhat, axis=(0, 2)).reshape(
+            d, 1
         )
-        dqkv_parts.append(draw)
-    dqkv_parts.append(dv.reshape(heads, d, tn))
-    # Interleave back to the (heads, 3, d) row order of the QKV projection.
-    dqkv = jnp.stack(dqkv_parts, axis=1).reshape(3 * c, tn).astype(q_s.dtype)
+        dln_ref[:, col + 1 : col + 2] += jnp.sum(dy3, axis=(0, 2)).reshape(
+            d, 1
+        )
+        g = ln_ref[:, col : col + 1]  # (d, 1)
+        dyg = dy3 * g
+        m1 = jnp.mean(dyg, axis=1, keepdims=True)
+        m2 = jnp.mean(dyg * xhat, axis=1, keepdims=True)
+        draw = (
+            inv.reshape(heads, 1, tn) * (dyg - m1 - xhat * m2)
+        ).astype(qkv_s.dtype)
+        for h in range(heads):
+            base = h * 3 * d + which * d
+            qkv_s[base : base + d, :] = draw[h]
+    for h in range(heads):
+        base = h * 3 * d + 2 * d
+        qkv_s[base : base + d, :] = (
+            dkv_s[c + h * d : c + (h + 1) * d, :]
+            + jnp.concatenate([bsum[h * d : (h + 1) * d, :]] * t_len, axis=1)
+        ).astype(qkv_s.dtype)
 
     # ---- QKV Dense + InstanceNorm1 backward -> dx ----
+    dqkv = qkv_s[...]
+    xn_blocks, mu1s, inv1s = _in_fwd_t(x_ref[0], in1_ref, t_len, n)
     # dW_qkv^T (3C, C) = dqkv (3C, T*N) @ xn (C, T*N)^T (contract lanes).
     dwqkvt_ref[...] += jax.lax.dot_general(
-        dqkv, xn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        dqkv,
+        jnp.concatenate(xn_blocks, axis=1).astype(q_s.dtype),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
     )
-    dbqkv_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=1, keepdims=True)
+    dbqkv_ref[...] += jnp.sum(dqkv.astype(f32), axis=1, keepdims=True)
     # dxn (C, T*N) = W_qkv^T^T @ dqkv: contract the 3C dim of both.
     dxn = jax.lax.dot_general(
         wqkvt_ref[...], dqkv, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=f32,
     )
     for t in range(t_len):
         sl = slice(t * n, (t + 1) * n)
         dxn_t = dxn[:, sl]
-        din1_ref[:, 0:1] += jnp.sum(dxn_t * xhat1s[t], axis=1, keepdims=True)
+        xhat1_t = (x_ref[0][:, sl].astype(f32) - mu1s[t]) * inv1s[t]
+        din1_ref[:, 0:1] += jnp.sum(dxn_t * xhat1_t, axis=1, keepdims=True)
         din1_ref[:, 1:2] += jnp.sum(dxn_t, axis=1, keepdims=True)
         dx_ref[0, :, sl] = _in_bwd_t(
-            dxn_t, xhat1s[t], inv1s[t], in1_ref
+            dxn_t, xhat1_t, inv1s[t], in1_ref
         ).astype(dx_ref.dtype)
 
 
@@ -383,10 +462,13 @@ def mega_temporal_supported(t_len: int, h: int, w: int, c: int) -> bool:
     tn = t_len * n
     if n % 128 != 0:
         return False
-    # bwd working set: qkv + q + kv scratches (6C rows) bf16, dao f32,
-    # ~4 live f32 slab temporaries (rolled kv, dq, dkv, dqkv), blocks.
-    bytes_needed = 6 * c * tn * 2 + c * tn * 4 + 4 * 2 * c * tn * 4
-    return bytes_needed <= int(100e6)
+    # bwd budget at the measured flagship point (C=384, T*N=25600 ->
+    # ~114 MiB program total): declared scratches 22*C*TN bytes (7C rows
+    # bf16 + 2C rows f32), in/out windows ~16*C*TN (x/ao/do/dx double-
+    # buffered bf16), register live set ~20*C*TN (q + dq f32 + roll
+    # temporaries).  58*C*TN + margin must fit the 128 MiB VMEM space.
+    bytes_needed = 58 * c * tn
+    return bytes_needed <= int(118e6)
 
 
 @functools.lru_cache(maxsize=None)
@@ -457,7 +539,8 @@ def _make_temporal_block(
             pltpu.VMEM((3 * c, tn), dtype),
             pltpu.VMEM((c, tn), dtype),
             pltpu.VMEM((2 * c, tn), dtype),
-            pltpu.VMEM((c, tn), jnp.float32),
+            pltpu.VMEM((c, tn), dtype),
+            pltpu.VMEM((2 * c, tn), jnp.float32),
         ],
         compiler_params=cparams,
         interpret=interpret,
