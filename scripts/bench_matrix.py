@@ -32,6 +32,11 @@ POINTS = [
     # artifact); batch 2 fits.
     ("avit_big_512_b2", ["--batch", "2", "--size", "512", "--model-cfg", "avit_big", "--no-rollout"]),
     ("wide_flowboiling_2048x512_b1", ["--batch", "1", "--height", "512", "--width", "2048", "--no-rollout"]),
+    # Round-2 OOM boundary points, retried under scan_blocks (lax.scan over
+    # blocks bounds live activations; per-call timing because the scanned
+    # timing program exceeds the relay request cap at these sizes).
+    ("avit_big_512_b4_scan", ["--batch", "4", "--size", "512", "--model-cfg", "avit_big", "--scan-blocks", "--no-rollout", "--per-call-only"]),
+    ("wide_flowboiling_2048x512_b2_scan", ["--batch", "2", "--height", "512", "--width", "2048", "--scan-blocks", "--no-rollout", "--per-call-only"]),
 ]
 
 
