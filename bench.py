@@ -127,7 +127,7 @@ def main() -> None:
         default="auto",
         choices=[
             "auto", "flash", "packed", "plain", "unrolled",
-            "fused", "fused_packed", "fused_block", "mega",
+            "fused", "fused_packed", "fused_block", "mega", "lane",
         ],
     )
     ap.add_argument("--scan-blocks", action="store_true")

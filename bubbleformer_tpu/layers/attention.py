@@ -32,6 +32,10 @@ from bubbleformer_tpu.ops.attention import (
     unrolled_axis_attention,
 )
 from bubbleformer_tpu.ops.axial_block_mega import mega_axial_block
+from bubbleformer_tpu.ops.axial_lane import (
+    lane_axial_attention,
+    lane_axial_supported,
+)
 from bubbleformer_tpu.ops.axial_fused import fused_axial_attention
 from bubbleformer_tpu.ops.axial_fused_block import fused_block_attention
 from bubbleformer_tpu.ops.axial_fused_packed import fused_axial_attention_packed
@@ -66,10 +70,11 @@ def _resolve_attn_impl(
 
     'auto' resolves: temporal -> mega on TPU when the shape fits its VMEM
     envelope (``mega_temporal_supported``), else unrolled for seq <= 8, else
-    plain off-TPU or flash on TPU at seq >= 64; axial -> fused_block on TPU
-    (plain off-TPU: interpret-mode pallas is orders slower and XLA:CPU fuses
-    fine).  All impls remain directly selectable and numerically identical
-    (golden tests).
+    plain off-TPU or flash on TPU at seq >= 64; axial -> the lane-major
+    chunk-matmul kernel (``ops/axial_lane.py``) on TPU when the shape fits
+    its gate, else fused_block (plain off-TPU: interpret-mode pallas is
+    orders slower and XLA:CPU fuses fine).  All impls remain directly
+    selectable and numerically identical (golden tests).
     """
     if impl == "auto":
         import jax as _jax
@@ -85,7 +90,11 @@ def _resolve_attn_impl(
             if seq_len <= 8:
                 return "unrolled"
             return "flash" if on_tpu and seq_len >= 64 else "plain"
-        return "fused_block" if on_tpu else "plain"
+        if not on_tpu:
+            return "plain"
+        if shape is not None and lane_axial_supported(*shape):
+            return "lane"
+        return "fused_block"
     return impl
 
 
@@ -247,7 +256,9 @@ class AxialAttentionBlock(nn.Module):
         d = c // heads
         inp = x
 
-        impl = _resolve_attn_impl(self.attn_impl, max(h, w))
+        impl = _resolve_attn_impl(
+            self.attn_impl, max(h, w), kind="axial", shape=(h, w, c, heads)
+        )
         bias_mod = make_bias_module(self.bias_type, heads)
         bias_x = bias_mod(w, w) if bias_mod is not None else None
         scale_x = (
@@ -285,8 +296,8 @@ class AxialAttentionBlock(nn.Module):
 
         x = InstanceNorm(self.embed_dim, name="norm1")(x)
         qkv = nn.Dense(3 * self.embed_dim, dtype=self.dtype, name="input_head")(x)
-        if impl == "fused_block":
-            # qk-LayerNorm runs inside the v3 kernel; only declare its
+        if impl in ("fused_block", "lane"):
+            # qk-LayerNorm runs inside the v3/v5 kernels; only declare its
             # params here (paths identical to nn.LayerNorm, so checkpoints
             # interchange across attn_impl settings).
             qn_scale, qn_bias = LayerNormParams(d, name="qnorm")()
@@ -299,7 +310,15 @@ class AxialAttentionBlock(nn.Module):
 
         # Row (x-direction) attention: sequence along W, (b, h, heads) batched
         # directly on the (b, h, w, heads, d) layout.
-        if impl == "fused_block":
+        if impl == "lane":
+            # v5 kernel: lane-major (3C, N) slabs in both axial layouts,
+            # all-heads slab qk-LayerNorm, per-(head, chunk) MXU matmuls
+            # (ops/axial_lane.py).
+            x = lane_axial_attention(
+                qkv, qn_scale, qn_bias, kn_scale, kn_bias,
+                bias_x, bias_y, scale_x, scale_y, heads=heads,
+            )
+        elif impl == "fused_block":
             # v3 kernel: consumes the raw interleaved (BT,H,W,3C) QKV tensor
             # and runs qk-LayerNorm in-kernel (ops/axial_fused_block.py) —
             # no split/LN/concat materialization at the kernel boundary.
@@ -340,7 +359,7 @@ class AxialAttentionBlock(nn.Module):
 
         # Column (y-direction) attention: sequence along H, (b, w, heads)
         # batched (the fused path above already included columns).
-        if impl in ("fused", "fused_packed", "fused_block"):
+        if impl in ("fused", "fused_packed", "fused_block", "lane"):
             pass
         elif impl == "unrolled":
             xy = unrolled_axis_attention(q, k, v, axis=1, bias=bias_y, scale_factor=scale_y)
@@ -360,7 +379,7 @@ class AxialAttentionBlock(nn.Module):
             # xy: (b, w, heads, h, d) -> (b, h, w, c)
             xy = jnp.transpose(xy, (0, 3, 1, 2, 4)).reshape(b, h, w, c)
 
-        if impl not in ("fused", "fused_packed", "fused_block"):
+        if impl not in ("fused", "fused_packed", "fused_block", "lane"):
             x = (xx + xy) * 0.5
         x = InstanceNorm(self.embed_dim, name="norm2")(x)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="output_head")(x)

@@ -1,0 +1,499 @@
+"""Pallas TPU kernel v5: lane-major chunk-matmul axial attention.
+
+The round-2 kernels established two facts (ABLATIONS_r02.json): the axial
+branch costs ~7.6 ms/block fwd+bwd of which only ~4.2 is the head-packed
+attention core — the rest is per-head staging/serialization in the natural
+(H, W, C) layout; and the temporal megakernel's lane-major ``(C, tokens)``
+layout does the equivalent staging as all-heads slab ops for ~0.5 ms/block.
+Two round-3 probes sized the replacement core (DESIGN.md):
+
+* VPU within-block lane rolls (``scripts/probe_lane_axial.py``): 2.72
+  ms/block fwd for the 64-offset core — loses once a roll-heavy backward is
+  added (negative result, backward not written).
+* per-head MXU chunk matmuls (``scripts/probe_chunk_axial.py``): attention
+  over a W-token axis as ``S = dot(q_c (d, 128), k_c (d, 128), contract
+  sublanes)`` per (head, 128-lane chunk) — one native MXU tile per op with
+  only ``128/W``x block-diagonal waste (vs 24x for head-packing, whose
+  few-big-dispatch shape only matters at an XLA boundary; in-kernel, a
+  matmul op has no dispatch cost).
+
+This kernel runs the chunk-matmul core at the **dual-layout QKV boundary**:
+
+* inputs are the interleaved QKV tensor in lane-major ``(3C, N)`` form in
+  BOTH axial layouts — h-major lanes (rows pass) and w-major lanes (columns
+  pass).  Because the QKV projection acts on channels and the layout
+  permutation acts on lanes, they commute: the w-major QKV is just the
+  XLA-transposed QKV tensor, so the second layout costs one HBM relayout,
+  not a second projection and not an in-kernel (N, N) permutation matmul.
+* qk-LayerNorm is computed in-kernel on all heads at once via the
+  head-leading ``(heads, d, N)`` view (the temporal megakernel's
+  ``_qkln_all``), with the hand-written all-heads LN backward.
+* each axis emits its own attn_scale-blended output slab; the 0.5 average,
+  InstanceNorm2 and the output Dense stay in XLA (measured ~0.15 ms of
+  already-fused ops — absorbing them bought nothing for v4), which also
+  means the column output never needs an in-kernel back-transpose: the
+  final lane permutation commutes with the per-channel epilogue and is one
+  more cheap XLA relayout.
+* the attn_scale low-frequency term (uniform window attention) is folded
+  into the probability matrix before the value matmul — ``o = v @ (s_h p +
+  (1-s_h) Mblk/blk)^T`` — so each chunk is two MXU matmuls forward; the
+  same fold removes the pv/vm recomputes from the backward, whose
+  value-path gradients all come out of one ``G = dao^T v`` matrix.
+
+The backward is fully hand-written: it restages q/k/v flash-style,
+recomputes each chunk's softmax, and expresses every gradient as chunk
+matmuls in the same layout; qk-LN/bias/scale gradients accumulate in VMEM
+across the sequential grid (the pattern of ``ops/temporal_block_mega.py``).
+Reference semantics: ``bubbleformer/layers/attention.py:199-319`` (shared
+QKV for both axes, per-axis T5 bias and per-head attn_scale, row/column
+average).  Parameter paths match the XLA impls, so checkpoints are
+interchangeable across ``attn_impl`` settings.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.ad_checkpoint
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bubbleformer_tpu.ops.temporal_block_mega import _qkln_all
+
+_NEG = -1e9
+
+
+def _pick_chunk(blk: int, n: int) -> int:
+    """Chunk size: a multiple of the window ``blk`` near one MXU tile (128
+    lanes), dividing the ``n``-lane slab evenly."""
+    nb = n // blk
+    kk = min(max(1, 128 // blk), nb)
+    while nb % kk:
+        kk -= 1
+    return blk * kk
+
+
+def lane_axial_supported(h: int, w: int, c: int, heads: int) -> bool:
+    """Shape gate for routing ``attn_impl='auto'`` to this kernel.
+
+    Requires lane-aligned slabs and the backward working set (two (3C, N)
+    qkv slabs double-buffered + staged q/kv + f32 dq/dkv scratches + chunk
+    temporaries) inside the 128 MiB VMEM budget with headroom.
+    """
+    n = h * w
+    d = c // heads
+    if n % 128 or d % 8 or c % heads:
+        return False
+    if max(h, w) > 512:  # (ch, ch) chunk tables stay one-tile-ish
+        return False
+    # Backward working set per grid step: qkv/qkvt in-windows double-
+    # buffered (24 C*N bytes bf16), dor/doc (8), dqkv/dqkvt out-windows
+    # (24), staged q/kv scratches (6), f32 dq/dkv scratches (12), chunk
+    # temporaries + staged f32 values (~12).  86 C*N + tables must fit the
+    # 128 MiB VMEM space with headroom; the flagship 32x32/C384 slab is
+    # 34 MB, 64x64 or 32x128 grids at C=384 are ~135 MB -> fused_block.
+    return 86 * c * n <= int(100e6)
+
+
+def _build_table(bias, heads: int, blk: int, ch: int):
+    """Per-head (ch, ch) additive logit tables, stacked to (heads*ch, ch).
+
+    Diagonal ``blk x blk`` blocks carry the T5 bias (differentiable: built
+    with tile/where so the VJP sums the diagonal blocks back); everything
+    off-block is -1e9, which the in-chunk softmax turns into exact zeros.
+    """
+    k = ch // blk
+    mask = np.kron(np.eye(k, dtype=np.float32), np.ones((blk, blk), np.float32))
+    neg = jnp.asarray((1.0 - mask) * _NEG)
+    if bias is None:
+        tbl = jnp.broadcast_to(neg, (heads, ch, ch))
+    else:
+        tiled = jnp.tile(bias.astype(jnp.float32), (1, k, k))
+        tbl = tiled * jnp.asarray(mask) + neg
+    return tbl.reshape(heads * ch, ch)
+
+
+def _stage(qkv, ln_ref, q_s, kv_s, heads, d):
+    """All-heads qk-LayerNorm staging from the interleaved (3C, N) slab
+    value into q (C, N) / k|v (2C, N) scratches.  Returns per-head LN stats
+    for the backward (each (heads, N))."""
+    c = heads * d
+    n = qkv.shape[-1]
+    q, qmu, qinv = _qkln_all(qkv, ln_ref, heads, d, 0)
+    k, kmu, kinv = _qkln_all(qkv, ln_ref, heads, d, 1)
+    v = qkv.reshape(heads, 3, d, n)[:, 2].reshape(c, n)
+    q_s[...] = q.astype(q_s.dtype)
+    kv_s[0:c, :] = k.astype(kv_s.dtype)
+    kv_s[c : 2 * c, :] = v.astype(kv_s.dtype)
+    return qmu, qinv, kmu, kinv
+
+
+def _axis_fwd(q_s, kv_s, tbl_ref, mblk_ref, scale_ref, axis_idx, o_ref,
+              heads, d, ch, n):
+    """One axial direction: per-(head, chunk) MXU attention off the slabs.
+
+    Writes the attn_scale-blended output directly into ``o_ref[0]``
+    slices (``o_ref``: the (1, C, N) output block ref)."""
+    scaling = d**-0.5
+    c = heads * d
+    mblk = mblk_ref[...]  # (ch, ch) f32, kron(I, ones/blk)
+    for hd in range(heads):
+        rows = slice(hd * d, (hd + 1) * d)
+        vrows = slice(c + hd * d, c + (hd + 1) * d)
+        trows = slice(hd * ch, (hd + 1) * ch)
+        s_h = scale_ref[hd, axis_idx]
+        for ci in range(n // ch):
+            sl = slice(ci * ch, (ci + 1) * ch)
+            qc = q_s[rows, sl]
+            kc = kv_s[rows, sl]
+            vc = kv_s[vrows, sl]
+            s = (
+                jax.lax.dot_general(
+                    qc, kc, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scaling
+                + tbl_ref[trows, :]
+            )
+            p = jax.nn.softmax(s, axis=-1)
+            # attn_scale blend folded into the probability matrix:
+            # o = v @ (s_h p + (1-s_h) Mblk/blk)^T — one matmul, no
+            # separate window-mean matmul (Mblk is block-diag symmetric).
+            pb = (s_h * p + (1.0 - s_h) * mblk).astype(vc.dtype)
+            o_ref[0, rows, sl] = jax.lax.dot_general(
+                vc, pb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
+
+
+def _fwd_kernel(
+    scale_ref, qkv_ref, qkvt_ref, ln_ref, br_ref, bc_ref, mr_ref, mc_ref,
+    or_ref, oc_ref, q_s, kv_s,
+    *, n, heads, d, ch_r, ch_c,
+):
+    _stage(qkv_ref[0].astype(jnp.float32), ln_ref, q_s, kv_s, heads, d)
+    _axis_fwd(q_s, kv_s, br_ref, mr_ref, scale_ref, 0, or_ref,
+              heads, d, ch_r, n)
+    _stage(qkvt_ref[0].astype(jnp.float32), ln_ref, q_s, kv_s, heads, d)
+    _axis_fwd(q_s, kv_s, bc_ref, mc_ref, scale_ref, 1, oc_ref,
+              heads, d, ch_c, n)
+
+
+def _axis_bwd(q_s, kv_s, dao, tbl_ref, mblk_ref, scale_ref, axis_idx,
+              dtbl_ref, dq_s, dkv_s, heads, d, ch, n):
+    """Chunk backward for one direction.  ``dao``: (C, N) f32 upstream grad
+    of this axis's kernel output.  Fills dq_s/dkv_s (f32 slabs, w.r.t. the
+    POST-LN q/k and raw v), accumulates the wide bias-table gradient, and
+    returns the (heads, ch) attn-scale gradient rows."""
+    c = heads * d
+    scaling = d**-0.5
+    mblk = mblk_ref[...]  # (ch, ch) f32, kron(I, ones/blk)
+    dsc_rows = []
+    for hd in range(heads):
+        rows = slice(hd * d, (hd + 1) * d)
+        vrows = slice(c + hd * d, c + (hd + 1) * d)
+        trows = slice(hd * ch, (hd + 1) * ch)
+        s_h = scale_ref[hd, axis_idx]
+        acc = None
+        for ci in range(n // ch):
+            sl = slice(ci * ch, (ci + 1) * ch)
+            qc = q_s[rows, sl]
+            kc = kv_s[rows, sl]
+            vc = kv_s[vrows, sl]
+            dao_bf = dao[rows, sl].astype(vc.dtype)
+            s = (
+                jax.lax.dot_general(
+                    qc, kc, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scaling
+                + tbl_ref[trows, :]
+            )
+            p = jax.nn.softmax(s, axis=-1)
+            # G(i,j) = sum_d dao(d,i) v(d,j) carries every value-path grad:
+            # dp = s_h G; dscale = sum (p - Mblk/blk) . G (no pv/vm needed).
+            g_mat = jax.lax.dot_general(
+                dao_bf, vc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            part = jnp.sum((p - mblk) * g_mat, axis=0, keepdims=True)
+            acc = part if acc is None else acc + part
+            dp = s_h * g_mat
+            rowsum = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = p * (dp - rowsum)
+            dtbl_ref[trows, :] += ds
+            ds_bf = ds.astype(vc.dtype)
+            dq = jax.lax.dot_general(
+                kc, ds_bf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk = jax.lax.dot_general(
+                qc, ds_bf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dv = dao @ (s_h p + (1-s_h) Mblk/blk): the same blended
+            # probability matrix as the forward, one matmul.
+            pb = (s_h * p + (1.0 - s_h) * mblk).astype(vc.dtype)
+            dv = jax.lax.dot_general(
+                dao_bf, pb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dq_s[rows, sl] = dq * scaling
+            dkv_s[rows, sl] = dk * scaling
+            dkv_s[vrows, sl] = dv
+        dsc_rows.append(acc)
+    return jnp.concatenate(dsc_rows, axis=0)
+
+
+def _qkln_bwd(qkv, dy3, mu, inv, ln_ref, which, dln_ref, out_ref, heads, d):
+    """All-heads qk-LayerNorm backward; writes the raw-component gradient
+    rows of the interleaved (3C, N) output ref (temporal megakernel
+    pattern)."""
+    n = qkv.shape[-1]
+    comp = qkv.reshape(heads, 3, d, n)[:, which]
+    xhat = (comp - mu.reshape(heads, 1, n)) * inv.reshape(heads, 1, n)
+    col = 2 * which
+    dln_ref[:, col : col + 1] += jnp.sum(dy3 * xhat, axis=(0, 2)).reshape(d, 1)
+    dln_ref[:, col + 1 : col + 2] += jnp.sum(dy3, axis=(0, 2)).reshape(d, 1)
+    g = ln_ref[:, col : col + 1]
+    dyg = dy3 * g
+    m1 = jnp.mean(dyg, axis=1, keepdims=True)
+    m2 = jnp.mean(dyg * xhat, axis=1, keepdims=True)
+    draw = (inv.reshape(heads, 1, n) * (dyg - m1 - xhat * m2)).astype(
+        out_ref.dtype
+    )
+    for hd in range(heads):
+        base = hd * 3 * d + which * d
+        out_ref[0, base : base + d, :] = draw[hd]
+
+
+def _layout_bwd(qkv3, ln_ref, tbl_ref, mblk_ref, scale_ref, axis_idx, do3,
+                dqkv3, dln_ref, dtbl_ref, q_s, kv_s, dq_s, dkv_s,
+                heads, d, ch, n):
+    """Full backward for one layout: restage, chunk grads, LN backward."""
+    c = heads * d
+    qkv = qkv3.astype(jnp.float32)
+    qmu, qinv, kmu, kinv = _stage(qkv, ln_ref, q_s, kv_s, heads, d)
+    dsc = _axis_bwd(q_s, kv_s, do3.astype(jnp.float32), tbl_ref, mblk_ref,
+                    scale_ref, axis_idx, dtbl_ref, dq_s, dkv_s,
+                    heads, d, ch, n)
+    _qkln_bwd(qkv, dq_s[...].reshape(heads, d, n), qmu, qinv, ln_ref, 0,
+              dln_ref, dqkv3, heads, d)
+    _qkln_bwd(qkv, dkv_s[0:c, :].reshape(heads, d, n), kmu, kinv, ln_ref, 1,
+              dln_ref, dqkv3, heads, d)
+    for hd in range(heads):
+        base = hd * 3 * d + 2 * d
+        dqkv3[0, base : base + d, :] = dkv_s[
+            c + hd * d : c + (hd + 1) * d, :
+        ].astype(dqkv3.dtype)
+    return dsc
+
+
+def _bwd_kernel(
+    scale_ref, qkv_ref, qkvt_ref, ln_ref, br_ref, bc_ref, mr_ref, mc_ref,
+    dor_ref, doc_ref,
+    dqkv_ref, dqkvt_ref, dln_ref, dbr_ref, dbc_ref, dsr_ref, dsc_ref,
+    q_s, kv_s, dq_s, dkv_s,
+    *, n, heads, d, ch_r, ch_c,
+):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        dln_ref[...] = jnp.zeros_like(dln_ref[...])
+        dbr_ref[...] = jnp.zeros_like(dbr_ref[...])
+        dbc_ref[...] = jnp.zeros_like(dbc_ref[...])
+        dsr_ref[...] = jnp.zeros_like(dsr_ref[...])
+        dsc_ref[...] = jnp.zeros_like(dsc_ref[...])
+
+    dsr = _layout_bwd(qkv_ref[0], ln_ref, br_ref, mr_ref, scale_ref, 0,
+                      dor_ref[0], dqkv_ref, dln_ref, dbr_ref,
+                      q_s, kv_s, dq_s, dkv_s, heads, d, ch_r, n)
+    dsr_ref[...] += dsr
+    dsc = _layout_bwd(qkvt_ref[0], ln_ref, bc_ref, mc_ref, scale_ref, 1,
+                      doc_ref[0], dqkvt_ref, dln_ref, dbc_ref,
+                      q_s, kv_s, dq_s, dkv_s, heads, d, ch_c, n)
+    dsc_ref[...] += dsc
+
+
+@functools.lru_cache(maxsize=None)
+def _make_lane_axial(
+    bt: int, n: int, heads: int, d: int, ch_r: int, ch_c: int,
+    blk_r: int, blk_c: int, dtype_name: str, interpret: bool,
+):
+    dtype = jnp.dtype(dtype_name)
+    c = heads * d
+    grid = (bt,)
+
+    slab3 = pl.BlockSpec(
+        (1, 3 * c, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    slab = pl.BlockSpec(
+        (1, c, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM
+    )
+    scale_spec = pl.BlockSpec(
+        (heads, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+
+    # Plain numpy (lru-cached factory; a traced jnp constant would leak).
+    # Mblk/blk: the uniform-window attention matrix the attn_scale blend
+    # mixes in, kept f32 (exact for any window length).
+    mr = np.kron(
+        np.eye(ch_r // blk_r, dtype=np.float32),
+        np.full((blk_r, blk_r), 1.0 / blk_r, np.float32),
+    )
+    mc = np.kron(
+        np.eye(ch_c // blk_c, dtype=np.float32),
+        np.full((blk_c, blk_c), 1.0 / blk_c, np.float32),
+    )
+
+    kdims = dict(n=n, heads=heads, d=d, ch_r=ch_r, ch_c=ch_c)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024)
+    in_specs = [
+        scale_spec, slab3, slab3, const((d, 4)),
+        const((heads * ch_r, ch_r)), const((heads * ch_c, ch_c)),
+        const((ch_r, ch_r)), const((ch_c, ch_c)),
+    ]
+
+    fwd_call = pl.pallas_call(
+        functools.partial(_fwd_kernel, **kdims),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[slab, slab],
+        out_shape=[jax.ShapeDtypeStruct((bt, c, n), dtype)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((c, n), dtype),
+            pltpu.VMEM((2 * c, n), dtype),
+        ],
+        compiler_params=cparams,
+        interpret=interpret,
+    )
+
+    bwd_call = pl.pallas_call(
+        functools.partial(_bwd_kernel, **kdims),
+        grid=grid,
+        in_specs=in_specs + [slab, slab],
+        out_specs=[
+            slab3, slab3, const((d, 4)),
+            const((heads * ch_r, ch_r)), const((heads * ch_c, ch_c)),
+            const((heads, ch_r)), const((heads, ch_c)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bt, 3 * c, n), dtype),
+            jax.ShapeDtypeStruct((bt, 3 * c, n), dtype),
+            jax.ShapeDtypeStruct((d, 4), jnp.float32),
+            jax.ShapeDtypeStruct((heads * ch_r, ch_r), jnp.float32),
+            jax.ShapeDtypeStruct((heads * ch_c, ch_c), jnp.float32),
+            jax.ShapeDtypeStruct((heads, ch_r), jnp.float32),
+            jax.ShapeDtypeStruct((heads, ch_c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c, n), dtype),
+            pltpu.VMEM((2 * c, n), dtype),
+            pltpu.VMEM((c, n), jnp.float32),
+            pltpu.VMEM((2 * c, n), jnp.float32),
+        ],
+        compiler_params=cparams,
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def fused(qkv, qkvt, ln, br, bc, scale):
+        o_row, o_colt = fwd_call(scale, qkv, qkvt, ln, br, bc, mr, mc)
+        return o_row, o_colt
+
+    def fused_fwd(qkv, qkvt, ln, br, bc, scale):
+        outs = fwd_call(scale, qkv, qkvt, ln, br, bc, mr, mc)
+        return outs, (qkv, qkvt, ln, br, bc, scale)
+
+    def fused_bwd(res, cots):
+        qkv, qkvt, ln, br, bc, scale = res
+        do_r, do_ct = cots
+        (dqkv, dqkvt, dln, dbr, dbc, dsr_w, dsc_w) = bwd_call(
+            scale, qkv, qkvt, ln, br, bc, mr, mc, do_r, do_ct
+        )
+        dscale = jnp.stack(
+            [jnp.sum(dsr_w, axis=1), jnp.sum(dsc_w, axis=1)], axis=1
+        )
+        return dqkv, dqkvt, dln, dbr, dbc, dscale
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def lane_axial_attention(
+    qkv: jax.Array,
+    qn_scale: jax.Array,
+    qn_bias: jax.Array,
+    kn_scale: jax.Array,
+    kn_bias: jax.Array,
+    bias_x: jax.Array | None = None,
+    bias_y: jax.Array | None = None,
+    scale_x: jax.Array | None = None,
+    scale_y: jax.Array | None = None,
+    heads: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Axial attention from the raw interleaved QKV tensor, lane-major.
+
+    ``qkv``: ``(BT, H, W, 3C)`` — the ``input_head`` Dense output (the
+    ``fused_block`` boundary).  Returns the averaged row/column attention
+    output ``(BT, H, W, C)`` after qk-LayerNorm, per-axis T5 bias and
+    attn_scale blending — numerically the reference chain
+    ``bubbleformer/layers/attention.py:199-307`` up to InstanceNorm2.
+    """
+    bt, h, w, c3 = qkv.shape
+    c = c3 // 3
+    if heads is None:
+        raise ValueError("heads must be given")
+    d = c // heads
+    n = h * w
+    ch_r = _pick_chunk(w, n)
+    ch_c = _pick_chunk(h, n)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    f32 = jnp.float32
+    ln = jnp.stack(
+        [
+            qn_scale.astype(f32),
+            qn_bias.astype(f32),
+            kn_scale.astype(f32),
+            kn_bias.astype(f32),
+        ],
+        axis=1,
+    )
+    ones = jnp.ones((heads,), f32)
+    scale = jnp.stack(
+        [
+            (scale_x if scale_x is not None else ones).astype(f32),
+            (scale_y if scale_y is not None else ones).astype(f32),
+        ],
+        axis=1,
+    )
+
+    dtype = qkv.dtype
+    # Lane-major relayouts (XLA HBM transposes — the projection and the
+    # layout permutation commute, so the w-major QKV is a pure relayout).
+    qkv_cm = qkv.reshape(bt, n, c3).transpose(0, 2, 1)
+    qkv_cm_t = (
+        qkv.transpose(0, 2, 1, 3).reshape(bt, n, c3).transpose(0, 2, 1)
+    )
+    br = _build_table(bias_x, heads, w, ch_r)
+    bc = _build_table(bias_y, heads, h, ch_c)
+
+    fused = _make_lane_axial(
+        bt, n, heads, d, ch_r, ch_c, w, h, str(dtype), bool(interpret)
+    )
+    o_row, o_colt = fused(qkv_cm, qkv_cm_t, ln, br, bc, scale)
+    o_r = o_row.transpose(0, 2, 1).reshape(bt, h, w, c)
+    o_c = (
+        o_colt.transpose(0, 2, 1).reshape(bt, w, h, c).transpose(0, 2, 1, 3)
+    )
+    out = (0.5 * (o_r.astype(f32) + o_c.astype(f32))).astype(dtype)
+    return jax.ad_checkpoint.checkpoint_name(out, "flash_attn")

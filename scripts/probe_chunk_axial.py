@@ -137,7 +137,7 @@ def probe_perm_matmul():
 # ------------------------------------------------- fwd attention core bench
 
 
-def _axis_pass(q, k, v, bias_ref, vm, s_col, heads, d, ch, n):
+def _axis_pass(q, k, v, bias_ref, mblk_small, s_col, heads, d, ch, n):
     """One axial direction: per-(head, chunk) MXU attention on the slab.
 
     Chunk outputs are assembled by static concatenation (the lowering pattern
@@ -147,6 +147,7 @@ def _axis_pass(q, k, v, bias_ref, vm, s_col, heads, d, ch, n):
     head_rows = []
     for hd in range(heads):
         rows = slice(hd * d, (hd + 1) * d)
+        s_h = s_col[hd, 0]
         chunks = []
         for ci in range(n // ch):
             sl = slice(ci * ch, (ci + 1) * ch)
@@ -156,35 +157,32 @@ def _axis_pass(q, k, v, bias_ref, vm, s_col, heads, d, ch, n):
             )
             s = s * scaling + bias_ref[hd * ch : (hd + 1) * ch, :]
             p = jax.nn.softmax(s, axis=-1)
+            # attn_scale blend folded into the probability matrix:
+            # o = v @ (s_h p + (1-s_h)/blk Mblk)^T — one matmul, no
+            # separate window-mean matmul.
+            pb = (s_h * p + mblk_small * (1.0 - s_h)).astype(v.dtype)
             chunks.append(
                 jax.lax.dot_general(
-                    v[rows, sl], p.astype(v.dtype), (((1,), (1,)), ((), ())),
+                    v[rows, sl], pb, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             )
         head_rows.append(
             chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
         )
-    out = jnp.concatenate(head_rows, axis=0) if heads > 1 else head_rows[0]
-    sc = jnp.broadcast_to(
-        s_col.reshape(heads, 1, 1), (heads, d, 1)
-    ).reshape(heads * d, 1)
-    return sc * out + (1.0 - sc) * vm
+    return jnp.concatenate(head_rows, axis=0) if heads > 1 else head_rows[0]
 
 
-def _core_kernel(q_ref, kv_ref, br_ref, bc_ref, mblk_ref, perm_ref, sc_ref,
-                 o_ref, *, heads, d, h, w, ch):
+def _core_kernel(q_ref, kv_ref, br_ref, bc_ref, mrs_ref, mcs_ref, perm_ref,
+                 sc_ref, o_ref, *, heads, d, h, w, ch):
     c = heads * d
     n = h * w
     q = q_ref[...]
     k = kv_ref[0:c, :]
     v = kv_ref[c : 2 * c, :]
 
-    vm_r = jax.lax.dot_general(
-        v, mblk_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_row = _axis_pass(q, k, v, br_ref, vm_r, sc_ref[:, 0:1], heads, d, ch, n)
+    o_row = _axis_pass(q, k, v, br_ref, mrs_ref[...], sc_ref[:, 0:1],
+                       heads, d, ch, n)
 
     # Column pass on the w-major-transposed slabs (one exact matmul each).
     tr = lambda x: jax.lax.dot_general(
@@ -192,12 +190,8 @@ def _core_kernel(q_ref, kv_ref, br_ref, bc_ref, mblk_ref, perm_ref, sc_ref,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     qt, kt, vt = tr(q), tr(k), tr(v)
-    vm_c = jax.lax.dot_general(
-        vt, mblk_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_col_t = _axis_pass(qt, kt, vt, bc_ref, vm_c, sc_ref[:, 1:2], heads, d,
-                         ch, n)
+    o_col_t = _axis_pass(qt, kt, vt, bc_ref, mcs_ref[...], sc_ref[:, 1:2],
+                         heads, d, ch, n)
     # Transpose back: P is an involution here only if h == w; use P^T via
     # contracting the second dim of perm.
     o_col = jax.lax.dot_general(
@@ -232,9 +226,15 @@ def bench_core(args):
 
     br = mk_bias(w, ch // w)
     bc = mk_bias(h, ch // h)
-    mblk = jnp.asarray(
-        np.kron(np.eye(n // w, dtype=np.float32), np.full((w, w), 1.0 / w)),
-        dtype,
+    mrs = jnp.asarray(
+        np.kron(
+            np.eye(ch // w, dtype=np.float32), np.full((w, w), 1.0 / w)
+        )
+    )
+    mcs = jnp.asarray(
+        np.kron(
+            np.eye(ch // h, dtype=np.float32), np.full((h, h), 1.0 / h)
+        )
     )
     i = np.arange(n)
     p_np = np.zeros((n, n), np.float32)
@@ -250,17 +250,19 @@ def bench_core(args):
         shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM
     )
 
-    def kern(q_ref, kv_ref, br_ref, bc_ref, mblk_ref, perm_ref, sc_ref, o_ref):
+    def kern(q_ref, kv_ref, br_ref, bc_ref, mrs_ref, mcs_ref, perm_ref,
+             sc_ref, o_ref):
         _core_kernel(
-            q_ref.at[0], kv_ref.at[0], br_ref, bc_ref, mblk_ref, perm_ref,
-            sc_ref, o_ref.at[0], heads=heads, d=d, h=h, w=w, ch=ch,
+            q_ref.at[0], kv_ref.at[0], br_ref, bc_ref, mrs_ref, mcs_ref,
+            perm_ref, sc_ref, o_ref.at[0], heads=heads, d=d, h=h, w=w, ch=ch,
         )
 
     call = pl.pallas_call(
         kern,
         grid=(bt,),
         in_specs=[slab, kv_spec, const((heads * ch, ch)), const((heads * ch, ch)),
-                  const((n, n)), const((n, n)), const((heads, 2))],
+                  const((ch, ch)), const((ch, ch)), const((n, n)),
+                  const((heads, 2))],
         out_specs=slab,
         out_shape=jax.ShapeDtypeStruct((bt, c, n), dtype),
         compiler_params=pltpu.CompilerParams(
@@ -274,7 +276,7 @@ def bench_core(args):
     def run(q, kv):
         def body(carry, _):
             qq, kk = carry
-            o = call(qq, kk, br, bc, mblk, perm, sc)
+            o = call(qq, kk, br, bc, mrs, mcs, perm, sc)
             return (o, kk), jnp.sum(o[0, 0, :8].astype(jnp.float32))
 
         _, vals = jax.lax.scan(body, (q, kv), None, length=nsteps)

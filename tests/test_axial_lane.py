@@ -1,0 +1,179 @@
+"""Golden tests for the lane-major chunk-matmul axial kernel (v5).
+
+``ops/axial_lane.py`` runs qk-LayerNorm staging plus the row+column chunk
+attention (T5 bias, attn_scale blend) in one pallas_call per direction at
+the dual-layout QKV boundary, with a fully hand-written VJP.  These tests
+pin it against the plain XLA path of ``AxialAttentionBlock`` (itself
+golden-tested against the reference ``bubbleformer/layers/attention.py:
+127-319``): identical parameter paths and init values, identical forward
+outputs, and matching gradients for every parameter and the input.  Runs in
+interpret mode on the CPU backend (conftest provisions it).
+"""
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import numpy as np
+import pytest
+
+from bubbleformer_tpu.layers.attention import AxialAttentionBlock
+
+
+def _blocks(impl_a="plain", impl_b="lane", **kw):
+    defaults = dict(embed_dim=32, num_heads=4)
+    defaults.update(kw)
+    return (
+        AxialAttentionBlock(attn_impl=impl_a, **defaults),
+        AxialAttentionBlock(attn_impl=impl_b, **defaults),
+    )
+
+
+def test_lane_params_and_forward_match_plain():
+    """Identical init param paths/values and identical forward output."""
+    x = jnp.asarray(
+        np.random.default_rng(7)
+        .standard_normal((2, 8, 8, 32))
+        .astype(np.float32)
+    )
+    plain, lane = _blocks()
+    vp = plain.init(jax.random.key(0), x)
+    vl = lane.init(jax.random.key(0), x)
+    pa = jtu.tree_leaves_with_path(vp)
+    pb = jtu.tree_leaves_with_path(vl)
+    assert [jtu.keystr(k) for k, _ in pa] == [jtu.keystr(k) for k, _ in pb]
+    for (k, a), (_, b) in zip(pa, pb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), err_msg=jtu.keystr(k)
+        )
+    np.testing.assert_allclose(
+        np.asarray(lane.apply(vl, x)),
+        np.asarray(plain.apply(vp, x)),
+        atol=1e-5,
+        rtol=1e-5,
+    )
+
+
+def test_lane_gradients_match_plain():
+    """Hand-written VJP vs autodiff of the XLA path: gradients for every
+    parameter (qk-LN affines, T5 bias table, per-axis attn scales, and the
+    surrounding XLA-side Dense/InstanceNorm params) and for the input."""
+    x = jnp.asarray(
+        np.random.default_rng(11)
+        .standard_normal((2, 8, 16, 32))
+        .astype(np.float32)
+    )
+    cot = jnp.asarray(
+        np.random.default_rng(12)
+        .standard_normal((2, 8, 16, 32))
+        .astype(np.float32)
+    )
+    plain, lane = _blocks()
+    grads, xgrads = {}, {}
+    for name, blk in [("plain", plain), ("lane", lane)]:
+        v = blk.init(jax.random.key(0), x)
+
+        def loss(params, xx):
+            return jnp.sum(blk.apply(params, xx) * cot)
+
+        grads[name], xgrads[name] = jax.grad(loss, argnums=(0, 1))(v, x)
+    ga = jtu.tree_leaves_with_path(grads["plain"])
+    gb = jtu.tree_leaves_with_path(grads["lane"])
+    assert [jtu.keystr(k) for k, _ in ga] == [jtu.keystr(k) for k, _ in gb]
+    for (k, a), (_, b) in zip(ga, gb):
+        s = max(float(jnp.abs(a).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a) / s,
+            np.asarray(b) / s,
+            atol=2e-5,
+            rtol=2e-4,
+            err_msg=jtu.keystr(k),
+        )
+    s = max(float(jnp.abs(xgrads["plain"]).max()), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(xgrads["plain"]) / s,
+        np.asarray(xgrads["lane"]) / s,
+        atol=2e-5,
+        rtol=2e-4,
+    )
+
+
+@pytest.mark.parametrize(
+    "bias_type,attn_scale", [("none", False), ("rel", True), ("none", True)]
+)
+def test_lane_feature_toggles(bias_type, attn_scale):
+    """bias/scale off -> the kernel's mask-only-table / unit-scale paths."""
+    x = jnp.asarray(
+        np.random.default_rng(5)
+        .standard_normal((1, 8, 8, 16))
+        .astype(np.float32)
+    )
+    plain, lane = _blocks(
+        embed_dim=16, num_heads=2, bias_type=bias_type, attn_scale=attn_scale
+    )
+    vp = plain.init(jax.random.key(1), x)
+    np.testing.assert_allclose(
+        np.asarray(lane.apply(vp, x)),
+        np.asarray(plain.apply(vp, x)),
+        atol=1e-5,
+        rtol=1e-5,
+    )
+
+
+def test_lane_nonsquare_grid():
+    """Non-square grids (flow-boiling-shaped): multi-window chunks on one
+    axis, whole-slab chunk on the other; forward + input grads match."""
+    x = jnp.asarray(
+        np.random.default_rng(21)
+        .standard_normal((1, 12, 5, 16))
+        .astype(np.float32)
+    )
+    plain, lane = _blocks(embed_dim=16, num_heads=2)
+    v = plain.init(jax.random.key(2), x)
+    np.testing.assert_allclose(
+        np.asarray(lane.apply(v, x)),
+        np.asarray(plain.apply(v, x)),
+        atol=1e-5,
+        rtol=1e-5,
+    )
+    gp = jax.grad(lambda xx: jnp.sum(plain.apply(v, xx) ** 2))(x)
+    gl = jax.grad(lambda xx: jnp.sum(lane.apply(v, xx) ** 2))(x)
+    np.testing.assert_allclose(
+        np.asarray(gp), np.asarray(gl), atol=1e-5, rtol=1e-4
+    )
+
+
+def test_lane_matches_fused_block_and_mega():
+    """All three whole-branch axial impls agree (same params)."""
+    x = jnp.asarray(
+        np.random.default_rng(3)
+        .standard_normal((2, 8, 8, 16))
+        .astype(np.float32)
+    )
+    lane = AxialAttentionBlock(embed_dim=16, num_heads=2, attn_impl="lane")
+    v = lane.init(jax.random.key(0), x)
+    ref = np.asarray(lane.apply(v, x))
+    for impl in ("fused_block", "mega"):
+        blk = AxialAttentionBlock(embed_dim=16, num_heads=2, attn_impl=impl)
+        np.testing.assert_allclose(
+            np.asarray(blk.apply(v, x)), ref, atol=1e-5, rtol=1e-5,
+            err_msg=impl,
+        )
+
+
+def test_lane_supported_gate():
+    """The auto-routing gate accepts the flagship shape and rejects
+    lane-misaligned or VMEM-overflowing ones."""
+    from bubbleformer_tpu.ops.axial_lane import (
+        _pick_chunk,
+        lane_axial_supported,
+    )
+
+    assert lane_axial_supported(32, 32, 384, 6)  # flagship 512^2/p16
+    assert not lane_axial_supported(12, 5, 384, 6)  # n % 128 != 0
+    # 4x-larger grids (1024^2 / wide flow-boiling at C=384) exceed the
+    # backward's VMEM working set -> fused_block handles them.
+    assert not lane_axial_supported(64, 64, 384, 6)
+    assert not lane_axial_supported(32, 128, 384, 6)
+    assert _pick_chunk(32, 1024) == 128
+    assert _pick_chunk(128, 4096) == 128
+    assert _pick_chunk(5, 60) == 60
+    assert _pick_chunk(160, 1600) == 160  # window > one tile
