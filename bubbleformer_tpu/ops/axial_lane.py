@@ -52,6 +52,7 @@ interchangeable across ``attn_impl`` settings.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.ad_checkpoint
@@ -65,11 +66,18 @@ from bubbleformer_tpu.ops.temporal_block_mega import _qkln_all
 _NEG = -1e9
 
 
-def _pick_chunk(blk: int, n: int) -> int:
-    """Chunk size: a multiple of the window ``blk`` near one MXU tile (128
-    lanes), dividing the ``n``-lane slab evenly."""
+def _pick_chunk(blk: int, n: int, target: int = 256) -> int:
+    """Chunk size: a multiple of the window ``blk`` near ``target`` lanes,
+    dividing the ``n``-lane slab evenly.
+
+    ``target`` trades block-diagonal matmul waste (factor ``target/blk``)
+    against sequential chunk count — the chunk FLOPs are trivial next to
+    the MXU's throughput, so fewer/larger ops win until VMEM pressure or
+    softmax width dominates.  Measured on the flagship 32x32/384 axial
+    stack (fwd+bwd ms/step, ABLATIONS_r02.json): 128 -> 65.1, 256 -> 61.8,
+    512 -> 67.6; default 256."""
     nb = n // blk
-    kk = min(max(1, 128 // blk), nb)
+    kk = min(max(1, target // blk), nb)
     while nb % kk:
         kk -= 1
     return blk * kk
@@ -453,8 +461,9 @@ def lane_axial_attention(
         raise ValueError("heads must be given")
     d = c // heads
     n = h * w
-    ch_r = _pick_chunk(w, n)
-    ch_c = _pick_chunk(h, n)
+    target = int(os.environ.get("BUBBLEFORMER_LANE_CHUNK", "256"))
+    ch_r = _pick_chunk(w, n, target)
+    ch_c = _pick_chunk(h, n, target)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 

@@ -98,12 +98,20 @@ def time_variant(variant, args):
 
     grad_fn = jax.value_and_grad(loss_fn)
 
-    def body(carry, _):
-        p, x = carry
-        val, g = grad_fn(p, x)
-        # fold grads back so the scan has a real dependency chain
-        p2 = jax.tree.map(lambda a, b: a - 1e-12 * b.astype(a.dtype), p, g)
-        return (p2, x), val
+    if args.fwd_only:
+        def body(carry, _):
+            p, x = carry
+            val = loss_fn(p, x)
+            # fold the loss back so the scan has a real dependency chain
+            x2 = x + (1e-12 * val).astype(x.dtype)
+            return (p, x2), val
+    else:
+        def body(carry, _):
+            p, x = carry
+            val, g = grad_fn(p, x)
+            # fold grads back so the scan has a real dependency chain
+            p2 = jax.tree.map(lambda a, b: a - 1e-12 * b.astype(a.dtype), p, g)
+            return (p2, x), val
 
     n = args.steps
 
@@ -216,6 +224,10 @@ def main():
         "block stacks",
     )
     ap.add_argument("--attn-impl", default="plain")
+    ap.add_argument(
+        "--fwd-only", action="store_true",
+        help="time the forward pass alone (stack variants only)",
+    )
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--tw", type=int, default=5)
     ap.add_argument("--grid", type=int, default=32)
@@ -239,7 +251,8 @@ def main():
                 {
                     "variant": v,
                     "attn_impl": args.attn_impl,
-                    "ms_per_step_fwd_bwd": round(dt * 1e3, 2),
+                    ("ms_per_step_fwd" if args.fwd_only else "ms_per_step_fwd_bwd"):
+                        round(dt * 1e3, 2),
                     "compile_s": round(compile_s, 1),
                     "depth": args.depth,
                     "grid": args.grid,

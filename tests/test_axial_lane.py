@@ -173,7 +173,9 @@ def test_lane_supported_gate():
     # backward's VMEM working set -> fused_block handles them.
     assert not lane_axial_supported(64, 64, 384, 6)
     assert not lane_axial_supported(32, 128, 384, 6)
-    assert _pick_chunk(32, 1024) == 128
-    assert _pick_chunk(128, 4096) == 128
+    assert _pick_chunk(32, 1024) == 256  # default target (measured fastest)
+    assert _pick_chunk(32, 1024, target=128) == 128
+    assert _pick_chunk(128, 4096) == 256
     assert _pick_chunk(5, 60) == 60
     assert _pick_chunk(160, 1600) == 160  # window > one tile
+    assert _pick_chunk(160, 1600, target=128) == 160  # target < window
