@@ -66,13 +66,29 @@ def avit_train_step_flops(
     blocks: int,
     heads: int,
     remat: bool = True,
-) -> float:
+    remat_policy: str = "dots",
+) -> tuple[float, str]:
     """Analytic matmul/conv FLOPs of one AViT/FiLMAViT training step.
 
-    Forward FLOPs from the layer dims; backward counted as 2x forward and
-    remat recompute as +1x (the standard 4x-forward accounting).  XLA's
-    ``cost_analysis`` is unreliable through the remote-compile path, so the
-    MFU the bench reports is derived from this model.
+    Forward FLOPs from the layer dims; backward counted as 2x forward.  The
+    remat recompute term depends on the policy actually shipped
+    (``models/axial_vit.py`` REMAT_POLICIES):
+
+    - ``remat_policy="dots"`` (the default): the policy saves every matmul
+      output (``dots_with_no_batch_dims_saveable`` + saved ``flash_attn``
+      kernel outputs), so the backward recompute re-executes only
+      elementwise/norm work — approximately ZERO extra matmul FLOPs.  The
+      exception is the attention pair-matmuls inside the custom-VJP Pallas
+      kernels (mega/lane/fused_block), whose hand-written backwards
+      recompute the score matrix rather than saving (heads, n, n)
+      probabilities to HBM: those get +1x their forward FLOPs.
+      Total = 3x forward + 1x attention-forward.
+    - ``remat_policy="full"`` (save nothing): the classic 4x forward.
+    - no remat: 3x forward.
+
+    XLA's ``cost_analysis`` is unreliable through the remote-compile path,
+    so the MFU the bench reports is derived from this model.  Returns
+    ``(flops, accounting_note)``.
     """
     frames = batch * time_window
     f = 0.0
@@ -101,15 +117,26 @@ def avit_train_step_flops(
     # temporal + spatial QKV and output projections
     per_block += 2 * (2.0 * tokens * embed_dim * 3 * embed_dim)
     per_block += 2 * (2.0 * tokens * embed_dim * embed_dim)
-    # temporal attention (seq T, batch B*h*w)
-    per_block += 2.0 * (batch * h * w) * heads * time_window * time_window * d * 2
-    # axial attention (rows: seq w; cols: seq h)
-    per_block += 2.0 * (frames * h) * heads * w * w * d * 2
-    per_block += 2.0 * (frames * w) * heads * h * h * d * 2
+    # attention pair matmuls (qk^T and p@v): temporal (seq T, batch B*h*w),
+    # axial rows (seq w), axial cols (seq h)
+    attn_per_block = 0.0
+    attn_per_block += 2.0 * (batch * h * w) * heads * time_window * time_window * d * 2
+    attn_per_block += 2.0 * (frames * h) * heads * w * w * d * 2
+    attn_per_block += 2.0 * (frames * w) * heads * h * h * d * 2
+    per_block += attn_per_block
     # MLP (4x expansion, two matmuls)
     per_block += 2.0 * tokens * embed_dim * 4 * embed_dim * 2
     f += blocks * per_block
-    return f * (4.0 if remat else 3.0)
+    attn_f = blocks * attn_per_block
+    if not remat:
+        return f * 3.0, "3x forward (no remat)"
+    if remat_policy == "full":
+        return f * 4.0, "4x forward (remat_policy=full recomputes all matmuls)"
+    return (
+        f * 3.0 + attn_f,
+        "3x forward + 1x attention recompute (remat_policy=dots saves all "
+        "matmul outputs; custom-VJP attention kernels recompute scores)",
+    )
 
 
 def main() -> None:
@@ -215,7 +242,7 @@ def main() -> None:
     log(f"matmul probe: {mm_dt*1e3:.3f} ms per 4096^3 -> {measured_peak/1e12:.1f} TF/s sustained")
 
     mp = cfg["model_cfg"]["params"]
-    step_flops = avit_train_step_flops(
+    step_flops, mfu_accounting = avit_train_step_flops(
         args.batch,
         args.time_window,
         4,
@@ -225,8 +252,10 @@ def main() -> None:
         mp["patch_size"],
         mp["processor_blocks"],
         mp["num_heads"],
+        remat=mp.get("remat", True),
+        remat_policy=mp.get("remat_policy", "dots"),
     )
-    log(f"analytic step FLOPs: {step_flops/1e12:.2f} TF")
+    log(f"analytic step FLOPs: {step_flops/1e12:.2f} TF ({mfu_accounting})")
 
     t0 = time.time()
     state, m = trainer._train_step(state, b, rng)
@@ -312,6 +341,7 @@ def main() -> None:
         "per_call_step_ms": round(dt * 1e3, 2),
         "mfu": round(mfu, 4),
         "mfu_vs_measured_peak": round(mfu_measured, 4),
+        "mfu_accounting": mfu_accounting,
         "measured_matmul_tflops": round(measured_peak / 1e12, 1),
         "rollout_frames_per_sec": round(rollout_fps, 1) if rollout_fps else None,
         "params_m": round(n_params / 1e6, 2),
