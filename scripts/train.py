@@ -25,6 +25,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+# Honor JAX_PLATFORMS even when an installed TPU plugin would override it
+# (the CPU-mesh e2e tests drive this CLI as a subprocess on the host
+# platform; in-process config wins where the env var alone does not).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 # Persistent compilation cache (full-step XLA compiles are minutes through
 # remote-compile relays; cached executables rerun in seconds).
 jax.config.update(
@@ -99,6 +105,20 @@ def main(argv=None) -> None:
     steps_per_epoch = min(len(train_loader), limit_train)
     total_steps = steps_per_epoch * cfg["max_epochs"]
 
+    # Strategy-via-config (the reference exposes its distributed strategy
+    # entirely through Trainer config, reference train.py:159-166): the mesh
+    # group picks DP/TP/SP; a spatial>1 axis auto-enables the model's
+    # sequence-parallel sharding hints.
+    mesh_cfg = cfg.get("mesh_cfg", {"data": -1, "model": 1})
+    spatial = mesh_cfg.get("spatial", 1)
+    mesh = make_mesh(
+        data=mesh_cfg.get("data", -1),
+        model=mesh_cfg.get("model", 1),
+        spatial=spatial,
+    )
+    if spatial > 1 and model_cfg["name"].lower() in ("avit", "filmavit"):
+        model_cfg["params"].setdefault("spatial_shard_axis", "spatial")
+
     module_cls = (
         ConditionedForecastModule
         if data_cfg["return_fluid_params"]
@@ -113,9 +133,6 @@ def main(argv=None) -> None:
         normalization_constants=normalization_constants,
         compute_dtype=cfg.get("compute_dtype"),
     )
-
-    mesh_cfg = cfg.get("mesh_cfg", {"data": -1, "model": 1})
-    mesh = make_mesh(data=mesh_cfg.get("data", -1), model=mesh_cfg.get("model", 1))
 
     use_wandb = cfg.get("use_wandb", False)
     trainer = Trainer(
