@@ -3,13 +3,18 @@
 AXON ?= /root/.axon_site
 PY   := PYTHONPATH=.:$(AXON) python3
 
-.PHONY: test bench demo train rollout samples physics
+.PHONY: test test-all bench demo train rollout samples physics
 
 physics:
 	$(PY) scripts/physics_gate.py --out PHYSICS_r02.json
 
 test:
 	$(PY) -m pytest tests/ -x -q
+
+# Includes the quarantined goldens for superseded kernel generations
+# (flash/fused/fused_packed/mega-axial) and the slow physics gate.
+test-all:
+	$(PY) -m pytest tests/ -x -q -m ""
 
 bench:
 	$(PY) bench.py --batch 4 --size 512

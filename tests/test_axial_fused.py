@@ -37,6 +37,7 @@ def _axial_reference(q, k, v, bx, by, sx, sy):
     return 0.5 * (xx + xy)
 
 
+@pytest.mark.superseded
 @pytest.mark.parametrize("bt,h,w", [(2, 16, 8), (1, 8, 8), (3, 8, 24)])
 def test_fused_forward_golden(bt, h, w):
     q, k, v, bx, by, sx, sy = _rand(bt, h, w, 2, 8)
@@ -45,6 +46,7 @@ def test_fused_forward_golden(bt, h, w):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
 
 
+@pytest.mark.superseded
 def test_fused_no_bias_no_scale():
     q, k, v, *_ = _rand(2, 8, 16, 3, 8, seed=3)
     ref = _axial_reference(
@@ -54,6 +56,7 @@ def test_fused_no_bias_no_scale():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
 
 
+@pytest.mark.superseded
 def test_fused_gradients_golden():
     args = _rand(2, 16, 8, 2, 8, seed=1)
     cot = jnp.asarray(
@@ -76,6 +79,7 @@ def test_fused_gradients_golden():
         )
 
 
+@pytest.mark.superseded
 def test_fused_chunking_invariance():
     """Different chunk sizes give identical results (pure packing change)."""
     q, k, v, bx, by, sx, sy = _rand(1, 16, 16, 2, 8, seed=2)
@@ -85,6 +89,7 @@ def test_fused_chunking_invariance():
 
 
 # ------------------------------------------------- head-packed fused (v2)
+@pytest.mark.superseded
 @pytest.mark.parametrize("bt,h,w", [(2, 16, 8), (1, 8, 8), (3, 8, 24)])
 def test_fused_packed_forward_golden(bt, h, w):
     q, k, v, bx, by, sx, sy = _rand(bt, h, w, 2, 8)
@@ -95,6 +100,7 @@ def test_fused_packed_forward_golden(bt, h, w):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
 
 
+@pytest.mark.superseded
 def test_fused_packed_no_bias_no_scale():
     q, k, v, *_ = _rand(2, 8, 16, 3, 8, seed=3)
     ref = _axial_reference(q, k, v, None, None, jnp.ones((3,)), jnp.ones((3,)))
@@ -102,6 +108,7 @@ def test_fused_packed_no_bias_no_scale():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
 
 
+@pytest.mark.superseded
 def test_fused_packed_gradients_golden():
     args = _rand(2, 16, 8, 2, 8, seed=1)
     cot = jnp.asarray(
@@ -126,6 +133,7 @@ def test_fused_packed_gradients_golden():
         )
 
 
+@pytest.mark.superseded
 def test_fused_packed_chunking_invariance():
     q, k, v, bx, by, sx, sy = _rand(1, 16, 16, 2, 8, seed=2)
     a = fused_axial_attention_packed(
@@ -229,6 +237,7 @@ def test_fused_block_under_remat():
 
 
 # ------------------------------------- whole-branch megakernel (v4)
+@pytest.mark.superseded
 def test_mega_module_forward_matches_plain():
     """AxialAttentionBlock(attn_impl='mega'): identical init params (paths,
     shapes, values) and identical forward output vs the plain XLA path."""
@@ -253,6 +262,7 @@ def test_mega_module_forward_matches_plain():
     )
 
 
+@pytest.mark.superseded
 def test_mega_module_gradients_match_plain():
     """Full-branch hand-written VJP vs autodiff of the XLA path, through the
     Flax module: gradients for every parameter (both Dense kernels/biases,
@@ -289,6 +299,7 @@ def test_mega_module_gradients_match_plain():
     )
 
 
+@pytest.mark.superseded
 def test_mega_non_square_and_no_bias():
     """Non-square grid, bias_type='none', feat/attn scales off."""
     from bubbleformer_tpu.layers.attention import AxialAttentionBlock
@@ -309,6 +320,7 @@ def test_mega_non_square_and_no_bias():
     )
 
 
+@pytest.mark.superseded
 def test_mega_under_remat():
     """The lru_cached megakernel factory must not capture trace-time
     constants (same regression class as test_fused_block_under_remat)."""
@@ -366,6 +378,7 @@ def test_unrolled_no_bias():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.superseded
 def test_model_attn_impls_agree():
     """AxialAttentionBlock: fused == plain through the Flax module."""
     from bubbleformer_tpu.layers.attention import AxialAttentionBlock

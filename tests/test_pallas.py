@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.superseded  # 'flash' lost to lane/fused_block; goldens kept runnable via -m superseded
+
 from bubbleformer_tpu.ops.attention import packed_attention, scaled_axial_attention
 from bubbleformer_tpu.ops.axial_pallas import flash_packed_attention, pick_flash_group
 
