@@ -83,26 +83,75 @@ def _pick_chunk(blk: int, n: int, target: int = 256) -> int:
     return blk * kk
 
 
-def lane_axial_supported(h: int, w: int, c: int, heads: int) -> bool:
+def _lcm(a: int, b: int) -> int:
+    import math
+
+    return a * b // math.gcd(a, b)
+
+
+def _grid_chunk(h: int, w: int, c: int, n: int, budget: int = int(60e6)) -> int:
+    """Lanes per grid step for the v6 streaming kernel.
+
+    Must cover whole rows in the h-major layout AND whole columns in the
+    w-major layout (multiple of lcm(w, h)) and stay lane-tile-aligned
+    (multiple of 128); within that, as large as keeps the ~86*C*chunk-byte
+    working set under ``budget`` so fewer grid steps amortize fixed
+    per-step cost while slabs still stream from HBM."""
+    align = _lcm(_lcm(h, w), 128)
+    if align >= n or n % align:
+        return n
+    nk = n // align
+    k = max(1, min(nk, budget // (86 * c * align)))
+    while nk % k:
+        k -= 1
+    return align * k
+
+
+def _resolve_chunk_target() -> int:
+    """The BUBBLEFORMER_LANE_CHUNK env override, clamped to the swept
+    128-512 range (values outside it grow the per-head (ch, ch) tables and
+    chunk temporaries beyond what the VMEM gate budgets for)."""
+    try:
+        t = int(os.environ.get("BUBBLEFORMER_LANE_CHUNK", "256"))
+    except ValueError:
+        t = 256
+    return max(128, min(512, t))
+
+
+def lane_axial_supported(
+    h: int, w: int, c: int, heads: int, target: int | None = None
+) -> bool:
     """Shape gate for routing ``attn_impl='auto'`` to this kernel.
 
-    Requires lane-aligned slabs and the backward working set (two (3C, N)
-    qkv slabs double-buffered + staged q/kv + f32 dq/dkv scratches + chunk
-    temporaries) inside the 128 MiB VMEM budget with headroom.
+    Requires lane-aligned slabs and the backward working set of ONE grid
+    step (the v6 kernel streams ``_grid_chunk`` lanes per step from HBM, so
+    the budget is per-chunk, not per-image — this is what admits the 64x64
+    and 32x128 token grids v5 excluded) inside the 128 MiB VMEM budget with
+    headroom.  ``target`` is the resolved chunk-lane target (defaults to
+    the clamped BUBBLEFORMER_LANE_CHUNK env value) — the per-head (ch, ch)
+    logit tables and their backward accumulators scale with it, so the
+    gate folds them in rather than assuming the default 256.
     """
     n = h * w
     d = c // heads
-    if n % 128 or d % 8 or c % heads:
+    if c % heads or n % 128 or d % 8:
         return False
     if max(h, w) > 512:  # (ch, ch) chunk tables stay one-tile-ish
         return False
+    gch = _grid_chunk(h, w, c, n)
+    if target is None:
+        target = _resolve_chunk_target()
+    ch_r = _pick_chunk(w, gch, target)
+    ch_c = _pick_chunk(h, gch, target)
+    # f32 logit tables (heads*ch, ch) per axis, live fwd + dtbl accumulators
+    # in the backward.
+    table_bytes = 8 * heads * (ch_r * ch_r + ch_c * ch_c)
     # Backward working set per grid step: qkv/qkvt in-windows double-
-    # buffered (24 C*N bytes bf16), dor/doc (8), dqkv/dqkvt out-windows
+    # buffered (24 C*gch bytes bf16), dor/doc (8), dqkv/dqkvt out-windows
     # (24), staged q/kv scratches (6), f32 dq/dkv scratches (12), chunk
-    # temporaries + staged f32 values (~12).  86 C*N + tables must fit the
-    # 128 MiB VMEM space with headroom; the flagship 32x32/C384 slab is
-    # 34 MB, 64x64 or 32x128 grids at C=384 are ~135 MB -> fused_block.
-    return 86 * c * n <= int(100e6)
+    # temporaries + staged f32 values (~12).  86 C*gch + tables must fit
+    # the 128 MiB VMEM space with headroom.
+    return 86 * c * gch + table_bytes <= int(100e6)
 
 
 def _build_table(bias, heads: int, blk: int, ch: int):
@@ -306,9 +355,9 @@ def _bwd_kernel(
     q_s, kv_s, dq_s, dkv_s,
     *, n, heads, d, ch_r, ch_c,
 ):
-    b = pl.program_id(0)
+    first = pl.program_id(0) + pl.program_id(1) == 0
 
-    @pl.when(b == 0)
+    @pl.when(first)
     def _():
         dln_ref[...] = jnp.zeros_like(dln_ref[...])
         dbr_ref[...] = jnp.zeros_like(dbr_ref[...])
@@ -330,22 +379,31 @@ def _bwd_kernel(
 def _make_lane_axial(
     bt: int, n: int, heads: int, d: int, ch_r: int, ch_c: int,
     blk_r: int, blk_c: int, dtype_name: str, interpret: bool,
+    grid_ch: int | None = None,
 ):
+    """``grid_ch``: lanes processed per grid step (v6 streaming).  The whole
+    kernel is lane-chunk-parallel (qk-LN normalizes over channels per token;
+    the attention windows are block-diagonal within a chunk), so slabs
+    stream from HBM ``grid_ch`` lanes at a time and the VMEM working set is
+    independent of ``n`` — this is what admits the 64x64 / 32x128 token
+    grids the whole-slab v5 gate had to exclude.  ``grid_ch = n`` (the
+    default) reproduces v5 exactly."""
     dtype = jnp.dtype(dtype_name)
     c = heads * d
-    grid = (bt,)
+    gch = n if grid_ch is None else grid_ch
+    grid = (bt, n // gch)
 
     slab3 = pl.BlockSpec(
-        (1, 3 * c, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 3 * c, gch), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
     slab = pl.BlockSpec(
-        (1, c, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, c, gch), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
     const = lambda shape: pl.BlockSpec(
-        shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM
+        shape, (lambda i, j: (0,) * len(shape)), memory_space=pltpu.VMEM
     )
     scale_spec = pl.BlockSpec(
-        (heads, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+        (heads, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM
     )
 
     # Plain numpy (lru-cached factory; a traced jnp constant would leak).
@@ -360,7 +418,7 @@ def _make_lane_axial(
         np.full((blk_c, blk_c), 1.0 / blk_c, np.float32),
     )
 
-    kdims = dict(n=n, heads=heads, d=d, ch_r=ch_r, ch_c=ch_c)
+    kdims = dict(n=gch, heads=heads, d=d, ch_r=ch_r, ch_c=ch_c)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024)
     in_specs = [
         scale_spec, slab3, slab3, const((d, 4)),
@@ -375,8 +433,8 @@ def _make_lane_axial(
         out_specs=[slab, slab],
         out_shape=[jax.ShapeDtypeStruct((bt, c, n), dtype)] * 2,
         scratch_shapes=[
-            pltpu.VMEM((c, n), dtype),
-            pltpu.VMEM((2 * c, n), dtype),
+            pltpu.VMEM((c, gch), dtype),
+            pltpu.VMEM((2 * c, gch), dtype),
         ],
         compiler_params=cparams,
         interpret=interpret,
@@ -401,10 +459,10 @@ def _make_lane_axial(
             jax.ShapeDtypeStruct((heads, ch_c), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((c, n), dtype),
-            pltpu.VMEM((2 * c, n), dtype),
-            pltpu.VMEM((c, n), jnp.float32),
-            pltpu.VMEM((2 * c, n), jnp.float32),
+            pltpu.VMEM((c, gch), dtype),
+            pltpu.VMEM((2 * c, gch), dtype),
+            pltpu.VMEM((c, gch), jnp.float32),
+            pltpu.VMEM((2 * c, gch), jnp.float32),
         ],
         compiler_params=cparams,
         interpret=interpret,
@@ -446,6 +504,7 @@ def lane_axial_attention(
     scale_y: jax.Array | None = None,
     heads: int | None = None,
     interpret: bool | None = None,
+    grid_lanes: int | None = None,
 ) -> jax.Array:
     """Axial attention from the raw interleaved QKV tensor, lane-major.
 
@@ -454,6 +513,10 @@ def lane_axial_attention(
     output ``(BT, H, W, C)`` after qk-LayerNorm, per-axis T5 bias and
     attn_scale blending — numerically the reference chain
     ``bubbleformer/layers/attention.py:199-307`` up to InstanceNorm2.
+
+    ``grid_lanes`` overrides the per-grid-step streaming chunk (testing
+    hook; the default is :func:`_grid_chunk` on TPU and the whole slab in
+    interpret mode).
     """
     bt, h, w, c3 = qkv.shape
     c = c3 // 3
@@ -461,11 +524,22 @@ def lane_axial_attention(
         raise ValueError("heads must be given")
     d = c // heads
     n = h * w
-    target = int(os.environ.get("BUBBLEFORMER_LANE_CHUNK", "256"))
-    ch_r = _pick_chunk(w, n, target)
-    ch_c = _pick_chunk(h, n, target)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    target = _resolve_chunk_target()
+    if grid_lanes is not None:
+        gch = grid_lanes
+    else:
+        gch = n if interpret else _grid_chunk(h, w, c, n)
+    ch_r = _pick_chunk(w, gch, target)
+    ch_c = _pick_chunk(h, gch, target)
+    if not interpret and not lane_axial_supported(h, w, c, heads, target):
+        raise ValueError(
+            f"attn_impl='lane' does not support token grid {h}x{w} with "
+            f"C={c}, heads={heads} (needs h*w % 128 == 0, head_dim % 8 == "
+            f"0, max(h, w) <= 512). Use attn_impl='fused_block' for this "
+            f"shape, or 'auto' which routes per-shape."
+        )
 
     f32 = jnp.float32
     ln = jnp.stack(
@@ -497,7 +571,8 @@ def lane_axial_attention(
     bc = _build_table(bias_y, heads, h, ch_c)
 
     fused = _make_lane_axial(
-        bt, n, heads, d, ch_r, ch_c, w, h, str(dtype), bool(interpret)
+        bt, n, heads, d, ch_r, ch_c, w, h, str(dtype), bool(interpret),
+        grid_ch=gch,
     )
     o_row, o_colt = fused(qkv_cm, qkv_cm_t, ln, br, bc, scale)
     o_r = o_row.transpose(0, 2, 1).reshape(bt, h, w, c)

@@ -163,19 +163,74 @@ def test_lane_supported_gate():
     """The auto-routing gate accepts the flagship shape and rejects
     lane-misaligned or VMEM-overflowing ones."""
     from bubbleformer_tpu.ops.axial_lane import (
+        _grid_chunk,
         _pick_chunk,
         lane_axial_supported,
     )
 
     assert lane_axial_supported(32, 32, 384, 6)  # flagship 512^2/p16
     assert not lane_axial_supported(12, 5, 384, 6)  # n % 128 != 0
-    # 4x-larger grids (1024^2 / wide flow-boiling at C=384) exceed the
-    # backward's VMEM working set -> fused_block handles them.
-    assert not lane_axial_supported(64, 64, 384, 6)
-    assert not lane_axial_supported(32, 128, 384, 6)
+    # v6 streams lane chunks from HBM, so the 4x-larger grids the v5
+    # whole-slab gate excluded (1024^2 / wide flow-boiling at C=384) are in.
+    assert lane_axial_supported(64, 64, 384, 6)
+    assert lane_axial_supported(32, 128, 384, 6)
+    assert lane_axial_supported(32, 32, 768, 12)  # avit_big flagship grid
+    # windows past one-tile-ish chunk tables stay out.
+    assert not lane_axial_supported(1024, 64, 384, 6)
+    # Streaming chunks cover whole rows AND columns, stay lane-aligned,
+    # and keep the per-step working set bounded.
+    assert _grid_chunk(32, 32, 384, 1024) == 1024  # flagship: one step
+    gch = _grid_chunk(64, 64, 384, 4096)
+    assert gch % 128 == 0 and gch % 64 == 0 and 4096 % gch == 0
+    assert 86 * 384 * gch <= int(60e6)
+    gch_wide = _grid_chunk(32, 128, 384, 4096)
+    assert gch_wide % 128 == 0 and gch_wide % 32 == 0 and 4096 % gch_wide == 0
     assert _pick_chunk(32, 1024) == 256  # default target (measured fastest)
     assert _pick_chunk(32, 1024, target=128) == 128
     assert _pick_chunk(128, 4096) == 256
     assert _pick_chunk(5, 60) == 60
     assert _pick_chunk(160, 1600) == 160  # window > one tile
     assert _pick_chunk(160, 1600, target=128) == 160  # target < window
+
+
+def test_lane_chunked_grid_matches_whole_slab():
+    """v6 streaming: an explicitly chunked grid (grid_lanes < n) must be
+    numerically identical to the whole-slab path, forward and gradients
+    (weight-gradient accumulation crosses grid steps)."""
+    from bubbleformer_tpu.ops.axial_lane import lane_axial_attention
+
+    rng = np.random.default_rng(11)
+    bt, h, w, c, heads = 2, 8, 16, 16, 2
+    qkv = jnp.asarray(rng.standard_normal((bt, h, w, 3 * c)).astype(np.float32))
+    qs = jnp.asarray(rng.uniform(0.5, 1.5, c // heads).astype(np.float32))
+    qb = jnp.asarray(rng.standard_normal(c // heads).astype(np.float32))
+    ks = jnp.asarray(rng.uniform(0.5, 1.5, c // heads).astype(np.float32))
+    kb = jnp.asarray(rng.standard_normal(c // heads).astype(np.float32))
+    bx = jnp.asarray(rng.standard_normal((heads, w, w)).astype(np.float32))
+    by = jnp.asarray(rng.standard_normal((heads, h, h)).astype(np.float32))
+    sx = jnp.asarray(rng.uniform(0.5, 1.5, heads).astype(np.float32))
+    sy = jnp.asarray(rng.uniform(0.5, 1.5, heads).astype(np.float32))
+
+    def run(gl):
+        def f(qkv, bx, by, sx, sy):
+            o = lane_axial_attention(
+                qkv, qs, qb, ks, kb, bx, by, sx, sy, heads=heads,
+                grid_lanes=gl,
+            )
+            return jnp.sum(o**2)
+
+        val, grads = jax.value_and_grad(f, argnums=(0, 1, 2, 3, 4))(
+            qkv, bx, by, sx, sy
+        )
+        return val, grads
+
+    # n = 128; chunk = lcm(8, 16) * 4 = 64 -> a 2-step grid per image.
+    v_whole, g_whole = run(None)
+    v_chunk, g_chunk = run(64)
+    np.testing.assert_allclose(
+        float(v_whole), float(v_chunk), rtol=1e-6
+    )
+    for a, b in zip(g_whole, g_chunk):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        )
