@@ -41,6 +41,8 @@ from bubbleformer_tpu.ops.axial_fused_block import fused_block_attention
 from bubbleformer_tpu.ops.axial_fused_packed import fused_axial_attention_packed
 from bubbleformer_tpu.ops.axial_pallas import flash_packed_attention
 from bubbleformer_tpu.ops.temporal_block_mega import (
+    core_temporal_attention,
+    core_temporal_supported,
     mega_temporal_block,
     mega_temporal_supported,
 )
@@ -87,6 +89,15 @@ def _resolve_attn_impl(
                 and mega_temporal_supported(seq_len, *shape[1:])
             ):
                 return "mega"
+            if (
+                on_tpu
+                and shape is not None
+                and core_temporal_supported(seq_len, *shape[1:])
+            ):
+                # Streamed core kernel (QKV+qk-LN+attention in-kernel,
+                # IN/Dense in XLA): covers the shapes outside the whole-
+                # branch megakernel's VMEM envelope (e.g. C=768 grids).
+                return "core"
             if seq_len <= 8:
                 return "unrolled"
             return "flash" if on_tpu and seq_len >= 64 else "plain"
@@ -172,13 +183,6 @@ class TemporalAttentionBlock(nn.Module):
             return drop_path(branch, drop_path_rate, rng, deterministic) + inp
 
         x = InstanceNorm(self.embed_dim, name="norm1")(x)
-        qkv = nn.Dense(3 * self.embed_dim, dtype=self.dtype, name="input_head")(x)
-        qkv = qkv.reshape(b, t, h, w, heads, 3 * d)
-        q, k, v = jnp.split(qkv, 3, axis=-1)  # (b, t, h, w, heads, d)
-        # qk-LayerNorm computes in f32 (param dtype); cast back to the
-        # activation dtype so the attention kernels see uniform q/k/v dtypes.
-        q = nn.LayerNorm(epsilon=1e-5, name="qnorm")(q).astype(qkv.dtype)
-        k = nn.LayerNorm(epsilon=1e-5, name="knorm")(k).astype(qkv.dtype)
 
         bias_mod = make_bias_module(self.bias_type, heads)
         bias = bias_mod(t, t) if bias_mod is not None else None
@@ -187,6 +191,38 @@ class TemporalAttentionBlock(nn.Module):
             if self.attn_scale
             else None
         )
+        if impl == "core":
+            # Streamed core kernel: QKV Dense + qk-LN + T-attention in one
+            # pallas_call chunked over tokens (ops/temporal_block_mega.py);
+            # IN2/output Dense below stay in XLA.  Parameter paths match the
+            # other impls, so checkpoints interchange.
+            wqkv, bqkv = DenseParams(c, 3 * self.embed_dim, name="input_head")()
+            qn_scale, qn_bias = LayerNormParams(d, name="qnorm")()
+            kn_scale, kn_bias = LayerNormParams(d, name="knorm")()
+            xin = x if self.dtype is None else x.astype(self.dtype)
+            out = core_temporal_attention(
+                xin, wqkv, bqkv, qn_scale, qn_bias, kn_scale, kn_bias,
+                bias, scale, heads=heads,
+            )
+            out = InstanceNorm(self.embed_dim, name="norm2")(out)
+            out = nn.Dense(self.embed_dim, dtype=self.dtype, name="output_head")(out)
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.embed_dim,),
+            )
+            branch = out * gamma.astype(out.dtype)
+            rng = None if deterministic else self.make_rng("droppath")
+            return drop_path(branch, drop_path_rate, rng, deterministic) + inp
+
+        qkv = nn.Dense(3 * self.embed_dim, dtype=self.dtype, name="input_head")(x)
+        qkv = qkv.reshape(b, t, h, w, heads, 3 * d)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # (b, t, h, w, heads, d)
+        # qk-LayerNorm computes in f32 (param dtype); cast back to the
+        # activation dtype so the attention kernels see uniform q/k/v dtypes.
+        q = nn.LayerNorm(epsilon=1e-5, name="qnorm")(q).astype(qkv.dtype)
+        k = nn.LayerNorm(epsilon=1e-5, name="knorm")(k).astype(qkv.dtype)
+
         if impl in _PACKED_IMPLS:
             # (b, t, h, w, he, d) -> (he, b*h*w, t, d), pack tiny T-sequences
             # into MXU-sized super-sequences (see ops.packed_attention /

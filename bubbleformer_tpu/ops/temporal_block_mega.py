@@ -449,6 +449,342 @@ def _bwd_kernel(
         ).astype(dx_ref.dtype)
 
 
+def _core_fwd_kernel(
+    x_ref, wqkvt_ref, bqkv_ref, ln_ref, bias_ref, scol_ref, ao_ref,
+    qkv_s, q_s, kv_s,
+    *, t_len, n, heads, d,
+):
+    """Streamed temporal core: QKV projection + qk-LN + T x T attention on
+    one ``n``-token chunk (all T timesteps of those tokens).  IN1/IN2 and
+    the output Dense stay in XLA — the chunk working set is then
+    independent of the token count, which admits shapes outside the whole-
+    branch megakernel's VMEM gate (avit_big's C=768 grid)."""
+    c = heads * d
+    xn = x_ref[0].reshape(c, t_len * n)
+    qkv_s[...] = (
+        jax.lax.dot_general(
+            wqkvt_ref[...], xn, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bqkv_ref[...]
+    ).astype(qkv_s.dtype)
+    _stage_attention(qkv_s, ln_ref, q_s, kv_s, heads, d)
+    o = _attention_fwd(q_s, kv_s, bias_ref, scol_ref, t_len, n, heads, d)[0]
+    ao_ref[0] = o.reshape(c, t_len, n).astype(ao_ref.dtype)
+
+
+def _core_bwd_kernel(
+    x_ref, wqkvt_ref, bqkv_ref, ln_ref, bias_ref, scol_ref, dao_ref,
+    dx_ref, dwqkvt_ref, dbqkv_ref, dln_ref, dbias_ref, dscale_ref,
+    qkv_s, q_s, kv_s, dkv_s,
+    *, t_len, n, heads, d,
+):
+    """Hand-written backward of the streamed core (the attention/qk-LN/
+    projection section of :func:`_bwd_kernel`, chunk-local); weight/bias
+    gradients accumulate in VMEM across the (batch, chunk) grid."""
+    first = pl.program_id(0) + pl.program_id(1) == 0
+    c = heads * d
+    tn = t_len * n
+    scaling = d**-0.5
+    f32 = jnp.float32
+
+    @pl.when(first)
+    def _():
+        dwqkvt_ref[...] = jnp.zeros_like(dwqkvt_ref[...])
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref[...])
+        dln_ref[...] = jnp.zeros_like(dln_ref[...])
+        dbias_ref[...] = jnp.zeros_like(dbias_ref[...])
+        dscale_ref[...] = jnp.zeros_like(dscale_ref[...])
+
+    # ---- Recompute projection + staging ----
+    xn = x_ref[0].reshape(c, tn)
+    qkv_s[...] = (
+        jax.lax.dot_general(
+            wqkvt_ref[...], xn, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        + bqkv_ref[...]
+    ).astype(qkv_s.dtype)
+    qmu, qinv, kmu, kinv = _stage_attention(
+        qkv_s, ln_ref, q_s, kv_s, heads, d
+    )
+
+    # ---- Attention backward: row algebra over per-offset w_r ----
+    q = q_s[...].astype(f32)
+    dao = dao_ref[0].reshape(c, tn).astype(f32)
+    p_list = _attention_probs(q, kv_s, bias_ref, t_len, n, heads, d)
+    s = scol_ref[...]
+    s_h = s.reshape(heads, d, 1)[:, 0]
+
+    w_list = []
+    dscale = None
+    for r in range(t_len):
+        v_r = _roll_left(kv_s[c : 2 * c, :], r, n, t_len)
+        w_r = _seg_sum(dao * v_r, heads, d)
+        w_list.append(w_r)
+        ds_c = (p_list[r] - 1.0 / t_len) * w_r
+        dscale = ds_c if dscale is None else dscale + ds_c
+    dscale_ref[...] += dscale
+    inner = None
+    for r in range(t_len):
+        in_c = p_list[r] * (s_h * w_list[r])
+        inner = in_c if inner is None else inner + in_c
+
+    dmean = (1.0 - s) * dao * (1.0 / t_len)
+    bsum = dmean[:, 0:n]
+    for t in range(1, t_len):
+        bsum = bsum + dmean[:, t * n : (t + 1) * n]
+
+    sdao = (s * dao).astype(q_s.dtype)
+    dq = None
+    dkv_s[...] = jnp.zeros_like(dkv_s[...])
+    for r in range(t_len):
+        dl = p_list[r] * (s_h * w_list[r] - inner)
+        dbias_ref[r * heads : (r + 1) * heads, :] += dl
+        dl_e = _expand_heads(dl, d)
+        dq_c = dl_e * _roll_left(kv_s[0:c, :], r, n, t_len) * scaling
+        dq = dq_c if dq is None else dq + dq_c
+        dkv_s[0:c, :] += _roll_right(dl_e * q * scaling, r, n, t_len)
+        dkv_s[c : 2 * c, :] += _roll_right(
+            _expand_heads(p_list[r], d) * sdao, r, n, t_len
+        ).astype(f32)
+
+    # ---- qk-LayerNorm backward; dqkv written in place over qkv_s ----
+    for which, dy3, mu, inv in (
+        (0, dq.reshape(heads, d, tn), qmu, qinv),
+        (1, None, kmu, kinv),
+    ):
+        if dy3 is None:
+            dy3 = dkv_s[0:c, :].reshape(heads, d, tn)
+        col = 2 * which
+        comp = qkv_s[...].astype(f32).reshape(heads, 3, d, tn)[:, which]
+        xhat = (comp - mu.reshape(heads, 1, tn)) * inv.reshape(heads, 1, tn)
+        dln_ref[:, col : col + 1] += jnp.sum(dy3 * xhat, axis=(0, 2)).reshape(
+            d, 1
+        )
+        dln_ref[:, col + 1 : col + 2] += jnp.sum(dy3, axis=(0, 2)).reshape(
+            d, 1
+        )
+        g = ln_ref[:, col : col + 1]
+        dyg = dy3 * g
+        m1 = jnp.mean(dyg, axis=1, keepdims=True)
+        m2 = jnp.mean(dyg * xhat, axis=1, keepdims=True)
+        draw = (
+            inv.reshape(heads, 1, tn) * (dyg - m1 - xhat * m2)
+        ).astype(qkv_s.dtype)
+        for h in range(heads):
+            base = h * 3 * d + which * d
+            qkv_s[base : base + d, :] = draw[h]
+    for h in range(heads):
+        base = h * 3 * d + 2 * d
+        qkv_s[base : base + d, :] = (
+            dkv_s[c + h * d : c + (h + 1) * d, :]
+            + jnp.concatenate([bsum[h * d : (h + 1) * d, :]] * t_len, axis=1)
+        ).astype(qkv_s.dtype)
+
+    # ---- Projection backward -> dxn ----
+    dqkv = qkv_s[...]
+    dwqkvt_ref[...] += jax.lax.dot_general(
+        dqkv, xn, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )
+    dbqkv_ref[...] += jnp.sum(dqkv.astype(f32), axis=1, keepdims=True)
+    dxn = jax.lax.dot_general(
+        wqkvt_ref[...], dqkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    dx_ref[0] = dxn.reshape(c, t_len, n).astype(dx_ref.dtype)
+
+
+def _core_chunk(t_len: int, n: int, c: int, budget: int = int(60e6)) -> int:
+    """Tokens per grid step for the streamed core: lane-aligned (multiple
+    of 128), dividing ``n``, per-step working set ~50*C*T*chunk bytes
+    (qkv/q/kv/dkv scratches + x/dao/dx windows + f32 attention live set)
+    under ``budget``."""
+    if n % 128:
+        return n
+    nk = n // 128
+    per = 50 * c * t_len * 128
+    k = max(1, min(nk, budget // per))
+    while nk % k:
+        k -= 1
+    return 128 * k
+
+
+def core_temporal_supported(t_len: int, h: int, w: int, c: int) -> bool:
+    """Gate for the streamed temporal core (used when the whole-branch
+    megakernel's envelope is exceeded, e.g. avit_big's C=768 at 32x32)."""
+    n = h * w
+    if n % 128 or c % 8:
+        return False
+    # The smallest chunk (128 tokens) must fit the per-step budget.
+    return 50 * c * t_len * 128 <= int(100e6)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_temporal_core(
+    b: int, t_len: int, n: int, nc: int, heads: int, d: int,
+    dtype_name: str, interpret: bool,
+):
+    dtype = jnp.dtype(dtype_name)
+    c = heads * d
+    tnc = t_len * nc
+    grid = (b, n // nc)
+
+    x_spec = pl.BlockSpec(
+        (1, c, t_len, nc), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, (lambda i, j: (0,) * len(shape)), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        x_spec, const((3 * c, c)), const((3 * c, 1)), const((d, 4)),
+        const((heads * t_len, tnc)), const((c, 1)),
+    ]
+    kdims = dict(t_len=t_len, n=nc, heads=heads, d=d)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024)
+
+    fwd_call = pl.pallas_call(
+        functools.partial(_core_fwd_kernel, **kdims),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[x_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, c, t_len, n), dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((3 * c, tnc), dtype),
+            pltpu.VMEM((c, tnc), dtype),
+            pltpu.VMEM((2 * c, tnc), dtype),
+        ],
+        compiler_params=cparams,
+        interpret=interpret,
+    )
+
+    bwd_call = pl.pallas_call(
+        functools.partial(_core_bwd_kernel, **kdims),
+        grid=grid,
+        in_specs=in_specs + [x_spec],
+        out_specs=[
+            x_spec, const((3 * c, c)), const((3 * c, 1)), const((d, 4)),
+            const((heads * t_len, tnc)), const((heads, tnc)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c, t_len, n), dtype),
+            jax.ShapeDtypeStruct((3 * c, c), jnp.float32),
+            jax.ShapeDtypeStruct((3 * c, 1), jnp.float32),
+            jax.ShapeDtypeStruct((d, 4), jnp.float32),
+            jax.ShapeDtypeStruct((heads * t_len, tnc), jnp.float32),
+            jax.ShapeDtypeStruct((heads, tnc), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3 * c, tnc), dtype),
+            pltpu.VMEM((c, tnc), dtype),
+            pltpu.VMEM((2 * c, tnc), dtype),
+            pltpu.VMEM((2 * c, tnc), jnp.float32),
+        ],
+        compiler_params=cparams,
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def fused(x, wqkvt, bqkv, ln, bias, scol):
+        (ao,) = fwd_call(x, wqkvt, bqkv, ln, bias, scol)
+        return ao
+
+    def fused_fwd(x, wqkvt, bqkv, ln, bias, scol):
+        (ao,) = fwd_call(x, wqkvt, bqkv, ln, bias, scol)
+        return ao, (x, wqkvt, bqkv, ln, bias, scol)
+
+    def fused_bwd(res, dao):
+        x, wqkvt, bqkv, ln, bias, scol = res
+        dx, dwqkvt, dbqkv, dln, dbias_w, dscale_w = bwd_call(
+            x, wqkvt, bqkv, ln, bias, scol, dao
+        )
+        d = x.shape[1] // dscale_w.shape[0]
+        dscol = jnp.repeat(
+            jnp.sum(dscale_w, axis=1, keepdims=True), d, axis=0
+        ) / jnp.float32(d)
+        return dx, dwqkvt, dbqkv, dln, dbias_w, dscol
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def core_temporal_attention(
+    xn: jax.Array,
+    wqkv: jax.Array,
+    bqkv: jax.Array,
+    qn_scale: jax.Array,
+    qn_bias: jax.Array,
+    kn_scale: jax.Array,
+    kn_bias: jax.Array,
+    bias: jax.Array | None = None,
+    scale_factor: jax.Array | None = None,
+    heads: int | None = None,
+    interpret: bool | None = None,
+    chunk: int | None = None,
+) -> jax.Array:
+    """QKV projection + qk-LN + T x T attention, streamed over token chunks.
+
+    ``xn``: ``(B, T, H, W, C)`` — the InstanceNorm1 output (IN1/IN2/output
+    Dense stay in XLA, unlike :func:`mega_temporal_block`, so the per-step
+    VMEM working set is independent of the token count).  Returns the
+    attn_scale-blended attention output in the input layout — numerically
+    the reference chain ``attention.py:44-101`` between the norms.
+    ``chunk`` overrides the per-grid-step token count (testing hook).
+    """
+    b, t_len, h, w, c = xn.shape
+    if heads is None:
+        raise ValueError("heads must be given")
+    d = c // heads
+    n = h * w
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nc = chunk or (n if interpret else _core_chunk(t_len, n, c))
+
+    f32 = jnp.float32
+    ln = jnp.stack(
+        [
+            qn_scale.astype(f32),
+            qn_bias.astype(f32),
+            kn_scale.astype(f32),
+            kn_bias.astype(f32),
+        ],
+        axis=1,
+    )
+    i_idx = jnp.arange(t_len)
+    scale = (
+        jnp.ones((heads,), f32)
+        if scale_factor is None
+        else scale_factor.astype(f32)
+    )
+    if bias is None:
+        bias_t = jnp.zeros((heads * t_len, t_len * nc), f32)
+    else:
+        rows = [
+            bias.astype(f32)[:, i_idx, (i_idx + r) % t_len]
+            for r in range(t_len)
+        ]
+        bias_t = jnp.repeat(
+            jnp.stack(rows, axis=0).reshape(t_len * heads, t_len), nc, axis=1
+        )
+    scol = jnp.repeat(scale.reshape(heads, 1), d, axis=0)
+
+    dtype = xn.dtype
+    xt = xn.reshape(b, t_len, n, c).transpose(0, 3, 1, 2)  # (B, C, T, N)
+    fused = _make_temporal_core(
+        b, t_len, n, nc, heads, d, str(dtype), bool(interpret)
+    )
+    ao = fused(
+        xt,
+        wqkv.astype(dtype).T,
+        bqkv.astype(f32).reshape(3 * c, 1),
+        ln,
+        bias_t,
+        scol,
+    )
+    out = ao.transpose(0, 2, 3, 1).reshape(b, t_len, h, w, c)
+    return jax.ad_checkpoint.checkpoint_name(out, "flash_attn")
+
+
 def mega_temporal_supported(t_len: int, h: int, w: int, c: int) -> bool:
     """Shape gate for routing ``attn_impl='auto'`` to the megakernel.
 

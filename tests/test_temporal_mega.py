@@ -178,6 +178,106 @@ def test_mega_model_level_scan_and_unrolled():
     np.testing.assert_allclose(outs[True], outs[False], atol=5e-5, rtol=1e-4)
 
 
+def test_temporal_core_matches_plain():
+    """The streamed core kernel (attn_impl='core': QKV+qk-LN+attention
+    in-kernel, IN/Dense in XLA) matches the plain path: identical param
+    paths, forward outputs and all gradients."""
+    x = jnp.asarray(
+        np.random.default_rng(31)
+        .standard_normal((2, 3, 8, 16, 32))
+        .astype(np.float32)
+    )
+    cot = jnp.asarray(
+        np.random.default_rng(32)
+        .standard_normal((2, 3, 8, 16, 32))
+        .astype(np.float32)
+    )
+    plain, core = _blocks(impl_b="core")
+    vp = plain.init(jax.random.key(0), x)
+    vc = core.init(jax.random.key(0), x)
+    pa = jtu.tree_leaves_with_path(vp)
+    pb = jtu.tree_leaves_with_path(vc)
+    assert [jtu.keystr(k) for k, _ in pa] == [jtu.keystr(k) for k, _ in pb]
+    np.testing.assert_allclose(
+        np.asarray(core.apply(vp, x)),
+        np.asarray(plain.apply(vp, x)),
+        atol=1e-5,
+        rtol=1e-5,
+    )
+
+    grads, xgrads = {}, {}
+    for name, blk in [("plain", plain), ("core", core)]:
+        def loss(params, xx):
+            return jnp.sum(blk.apply(params, xx) * cot)
+
+        grads[name], xgrads[name] = jax.grad(loss, argnums=(0, 1))(vp, x)
+    for (k, a), (_, b) in zip(
+        jtu.tree_leaves_with_path(grads["plain"]),
+        jtu.tree_leaves_with_path(grads["core"]),
+    ):
+        s = max(float(jnp.abs(a).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a) / s, np.asarray(b) / s, atol=2e-5, rtol=2e-4,
+            err_msg=jtu.keystr(k),
+        )
+    s = max(float(jnp.abs(xgrads["plain"]).max()), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(xgrads["plain"]) / s,
+        np.asarray(xgrads["core"]) / s,
+        atol=2e-5,
+        rtol=2e-4,
+    )
+
+
+def test_temporal_core_chunked_grid_matches_whole():
+    """Streaming (chunk < n) must be numerically identical to the whole-slab
+    grid, forward and gradients (weight grads accumulate across steps)."""
+    from bubbleformer_tpu.ops.temporal_block_mega import (
+        _core_chunk,
+        core_temporal_attention,
+        core_temporal_supported,
+    )
+
+    assert core_temporal_supported(5, 32, 32, 768)  # avit_big flagship grid
+    assert not core_temporal_supported(5, 12, 5, 384)  # n % 128 != 0
+    nc = _core_chunk(5, 1024, 768)
+    assert nc % 128 == 0 and 1024 % nc == 0
+    assert 50 * 768 * 5 * nc <= int(60e6)
+
+    rng = np.random.default_rng(41)
+    b, t, h, w, c, heads = 1, 3, 8, 16, 16, 2
+    d = c // heads
+    xn = jnp.asarray(rng.standard_normal((b, t, h, w, c)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(rng.standard_normal(3 * c).astype(np.float32) * 0.1)
+    qs = jnp.asarray(rng.uniform(0.5, 1.5, d).astype(np.float32))
+    qb = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    ks = jnp.asarray(rng.uniform(0.5, 1.5, d).astype(np.float32))
+    kb = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((heads, t, t)).astype(np.float32))
+    sc = jnp.asarray(rng.uniform(0.5, 1.5, heads).astype(np.float32))
+
+    def run(chunk):
+        def f(xn, wqkv, bqkv, bias, sc):
+            o = core_temporal_attention(
+                xn, wqkv, bqkv, qs, qb, ks, kb, bias, sc, heads=heads,
+                chunk=chunk,
+            )
+            return jnp.sum(o**2)
+
+        return jax.value_and_grad(f, argnums=(0, 1, 2, 3, 4))(
+            xn, wqkv, bqkv, bias, sc
+        )
+
+    v_whole, g_whole = run(None)  # n = 128, one step
+    v_chunk, g_chunk = run(64)  # 2-step grid (interpret mode)
+    np.testing.assert_allclose(float(v_whole), float(v_chunk), rtol=1e-6)
+    for a, b2 in zip(g_whole, g_chunk):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b2), atol=1e-5, rtol=1e-5
+        )
+
+
 def test_temporal_mega_under_remat():
     """nn.remat over the mega path: value + grads finite and matching."""
     from flax import linen as nn
