@@ -6,7 +6,7 @@ PY   := PYTHONPATH=.:$(AXON) python3
 .PHONY: test test-all bench demo train rollout samples physics
 
 physics:
-	$(PY) scripts/physics_gate.py --out PHYSICS_r02.json
+	$(PY) scripts/physics_gate.py --out PHYSICS_r03.json
 
 test:
 	$(PY) -m pytest tests/ -x -q

@@ -154,7 +154,7 @@ def main() -> None:
         default="auto",
         choices=[
             "auto", "flash", "packed", "plain", "unrolled",
-            "fused", "fused_packed", "fused_block", "mega", "lane",
+            "fused", "fused_packed", "fused_block", "mega", "lane", "core",
         ],
     )
     ap.add_argument("--scan-blocks", action="store_true")

@@ -19,30 +19,30 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# (label, bench.py args)
+# (label, bench.py args).  Rollout frames/s (the inference north-star,
+# BASELINE.md) is recorded per row since round 3 — one extra jit-scanned
+# rollout per config.
 POINTS = [
-    ("headline_film_avit_small_512_b4", ["--batch", "4", "--size", "512", "--no-rollout"]),
-    ("film_avit_small_512_b2", ["--batch", "2", "--size", "512", "--no-rollout"]),
+    ("headline_film_avit_small_512_b4", ["--batch", "4", "--size", "512"]),
+    ("film_avit_small_512_b2", ["--batch", "2", "--size", "512"]),
     # scan-blocks configs: the scanned-timing program exceeds the
     # remote-compile relay's request-size limit, so these report per-call
     # timing (a conservative upper bound on step time).
-    ("film_avit_small_512_b8_scan", ["--batch", "8", "--size", "512", "--scan-blocks", "--no-rollout", "--per-call-only"]),
-    ("film_avit_small_1024_b2_scan", ["--batch", "2", "--size", "1024", "--scan-blocks", "--no-rollout", "--per-call-only"]),
-    # avit_big at batch 4 OOMs on the 6-D qkv padding (recorded in the
-    # artifact); batch 2 fits.
-    ("avit_big_512_b2", ["--batch", "2", "--size", "512", "--model-cfg", "avit_big", "--no-rollout"]),
-    ("wide_flowboiling_2048x512_b1", ["--batch", "1", "--height", "512", "--width", "2048", "--no-rollout"]),
-    # Round-2 OOM boundary points, retried under scan_blocks (lax.scan over
-    # blocks bounds live activations; per-call timing because the scanned
-    # timing program exceeds the relay request cap at these sizes).
-    ("avit_big_512_b4_scan", ["--batch", "4", "--size", "512", "--model-cfg", "avit_big", "--scan-blocks", "--no-rollout", "--per-call-only"]),
-    ("wide_flowboiling_2048x512_b2_scan", ["--batch", "2", "--height", "512", "--width", "2048", "--scan-blocks", "--no-rollout", "--per-call-only"]),
+    ("film_avit_small_512_b8_scan", ["--batch", "8", "--size", "512", "--scan-blocks", "--per-call-only"]),
+    ("film_avit_small_1024_b2_scan", ["--batch", "2", "--size", "1024", "--scan-blocks", "--per-call-only"]),
+    ("avit_big_512_b2", ["--batch", "2", "--size", "512", "--model-cfg", "avit_big"]),
+    ("wide_flowboiling_2048x512_b1", ["--batch", "1", "--height", "512", "--width", "2048"]),
+    # Round-2 OOM boundary points under scan_blocks (lax.scan over blocks
+    # bounds live activations; per-call timing because the scanned timing
+    # program exceeds the relay request cap at these sizes).
+    ("avit_big_512_b4_scan", ["--batch", "4", "--size", "512", "--model-cfg", "avit_big", "--scan-blocks", "--per-call-only"]),
+    ("wide_flowboiling_2048x512_b2_scan", ["--batch", "2", "--height", "512", "--width", "2048", "--scan-blocks", "--per-call-only"]),
 ]
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="BENCH_MATRIX_r02.json")
+    ap.add_argument("--out", default="BENCH_MATRIX_r03.json")
     ap.add_argument("--only", nargs="*", default=None, help="subset of labels")
     ap.add_argument("--timeout", type=int, default=1500, help="per-point seconds")
     args = ap.parse_args()

@@ -25,22 +25,28 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-# Tolerances: generous bounds that catch pipeline breakage (NaNs, divergence,
-# field mixups) rather than model quality — the gate trains a tiny model for
-# a few minutes on synthetic data.  Measured round-2 values: rollout rel-L2
-# ~1.05, eikonal ~55 (synthetic SDF has dx-scale mismatch with the FC-72
-# constant, so the residual is large but stable), drift ~0.1.
+# Round-3 learning gate (VERDICT r2 item 4): the round-2 tolerances admitted
+# a model *worse than predicting zeros* (rel-L2 of the zero predictor is 1.0
+# by construction of the relative norm).  The gate now (a) records the
+# untrained-init rollout as the trivial baseline, (b) trains long enough to
+# beat it, and asserts the trained model's final-window rollout rel-L2 < 1.0
+# AND mean rel-L2 < 0.9x the untrained rollout; eikonal is tightened to ~2x
+# the measured ~55 (the synthetic SDF's dx-scale mismatch with the FC-72
+# constant makes the absolute value large but stable), so a 3x regression
+# fails.
 TOLERANCES = {
-    "rollout_rel_l2_max": 1.5,       # untrained-model level is ~1.06
-    "eikonal_residual_max": 200.0,   # explodes (1e3+) on divergence
+    "rollout_rel_l2_final_max": 1.0,   # must beat the zero predictor
+    "untrained_improvement_min": 0.9,  # mean rel-L2 < 0.9x untrained
+    "eikonal_residual_max": 120.0,     # measured ~55; catches 3x regressions
     "vapor_fraction_drift_max": 0.5,
 }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="PHYSICS_r02.json")
-    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--out", default="PHYSICS_r03.json")
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--train-batches", type=int, default=50)
     ap.add_argument("--windows", type=int, default=10)
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
@@ -64,7 +70,7 @@ def main() -> None:
         "optim_cfg=adamw",
         f"max_epochs={args.epochs}",
         "batch_size=4",
-        "limit_train_batches=20",
+        f"limit_train_batches={args.train_batches}",
         "limit_val_batches=2",
         f"log_dir={log_dir}",
         "use_wandb=false",
@@ -118,18 +124,25 @@ def main() -> None:
     )
 
     rollout = make_rollout_fn(module.model, args.windows, conditioned=False)
-    preds = np.asarray(rollout({"params": params}, init))  # (W, 1, T, C, H, W)
-    preds = preds[:, 0]
-
     targets, _ = rollout_targets(dataset, 0, args.windows)
     targets = np.asarray(targets)
-
-    # 4. Physics metrics (reference formulas).
     lp = LpLoss(d=2, p=2, reduce_dims=[0, 1], reductions=["mean", "mean"])
-    rel_l2 = [
-        float(lp(jnp.asarray(preds[i]), jnp.asarray(targets[i])))
-        for i in range(args.windows)
-    ]
+
+    def rollout_rel_l2(p):
+        preds = np.asarray(rollout({"params": p}, init))[:, 0]
+        return preds, [
+            float(lp(jnp.asarray(preds[i]), jnp.asarray(targets[i])))
+            for i in range(args.windows)
+        ]
+
+    # Trivial baseline: the untrained init's rollout (a predict-zeros model
+    # scores rel-L2 = 1.0 per window by construction; an untrained net is
+    # usually near or above that).  The learning assertion below requires
+    # the trained model to beat both.
+    _, rel_l2_untrained = rollout_rel_l2(variables["params"])
+
+    # 4. Physics metrics (reference formulas) on the trained model.
+    preds, rel_l2 = rollout_rel_l2(params)
     dfun_idx = data_cfg["output_fields"].index("dfun")
     flat_pred = preds.reshape(-1, *preds.shape[2:])  # (W*T, C, H, W)
     eik = np.asarray(eikonal_residual_per_step(jnp.asarray(flat_pred[:, dfun_idx])))
@@ -140,19 +153,37 @@ def main() -> None:
         )
     )
 
+    mean_trained = float(np.mean(rel_l2))
+    mean_untrained = float(np.mean(rel_l2_untrained))
     metrics = {
         "rollout_rel_l2_per_window": [round(v, 4) for v in rel_l2],
         "rollout_rel_l2_final": round(rel_l2[-1], 4),
+        "rollout_rel_l2_mean": round(mean_trained, 4),
+        "rollout_rel_l2_untrained_per_window": [
+            round(v, 4) for v in rel_l2_untrained
+        ],
+        "rollout_rel_l2_untrained_mean": round(mean_untrained, 4),
         "eikonal_residual_mean": round(float(eik.mean()), 4),
         "vapor_fraction_drift": round(drift, 5),
         "windows": args.windows,
         "time_window": tw,
+        "train_epochs": args.epochs,
+        "train_batches_per_epoch": args.train_batches,
         "tolerances": TOLERANCES,
     }
 
     failures = []
-    if max(rel_l2) > TOLERANCES["rollout_rel_l2_max"]:
-        failures.append(f"rel_l2 {max(rel_l2):.3f} > {TOLERANCES['rollout_rel_l2_max']}")
+    if rel_l2[-1] > TOLERANCES["rollout_rel_l2_final_max"]:
+        failures.append(
+            f"final rel_l2 {rel_l2[-1]:.3f} > "
+            f"{TOLERANCES['rollout_rel_l2_final_max']} (zero-predictor level)"
+        )
+    if mean_trained > TOLERANCES["untrained_improvement_min"] * mean_untrained:
+        failures.append(
+            f"mean rel_l2 {mean_trained:.3f} not < "
+            f"{TOLERANCES['untrained_improvement_min']}x untrained "
+            f"{mean_untrained:.3f} (no learning)"
+        )
     if not np.isfinite(eik).all() or eik.mean() > TOLERANCES["eikonal_residual_max"]:
         failures.append(f"eikonal {eik.mean():.1f} > {TOLERANCES['eikonal_residual_max']}")
     if not np.isfinite(drift) or abs(drift) > TOLERANCES["vapor_fraction_drift_max"]:
