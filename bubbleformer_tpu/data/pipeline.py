@@ -105,6 +105,32 @@ class DataLoader:
 
         def producer():
             try:
+                if getattr(self.dataset, "_native", False):
+                    # Native path: one GIL-releasing C call per batch, so
+                    # assemble several batches concurrently on the pool (a
+                    # sliding window of futures keeps order and bounds
+                    # memory).  The numpy path below must stay serial here —
+                    # its _collate maps __getitem__ over the same pool, and
+                    # submitting it from pool workers would deadlock.
+                    from collections import deque
+
+                    futs: deque = deque()
+                    inflight = min(self.num_workers, self.prefetch + 2)
+                    for batch_idx in list(batches[:inflight]):
+                        futs.append(self._pool.submit(self._collate, batch_idx))
+                    consumed = inflight
+                    while futs:
+                        if stop.is_set():
+                            return
+                        item = futs.popleft().result()
+                        if consumed < len(batches):
+                            futs.append(
+                                self._pool.submit(self._collate, batches[consumed])
+                            )
+                            consumed += 1
+                        if not put_checking_stop(item):
+                            return
+                    return
                 for batch_idx in batches:
                     if stop.is_set():
                         return
