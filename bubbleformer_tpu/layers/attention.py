@@ -33,7 +33,7 @@ from bubbleformer_tpu.ops.attention import (
 )
 from bubbleformer_tpu.ops.axial_block_mega import mega_axial_block
 from bubbleformer_tpu.ops.axial_lane import (
-    lane_axial_attention,
+    lane_axial_attention_from_x,
     lane_axial_supported,
 )
 from bubbleformer_tpu.ops.axial_fused import fused_axial_attention
@@ -331,9 +331,26 @@ class AxialAttentionBlock(nn.Module):
             return self._epilogue(x, inp, drop_path_rate, deterministic)
 
         x = InstanceNorm(self.embed_dim, name="norm1")(x)
+        if impl == "lane":
+            # v5/v6 kernel, fed from the block input: the QKV projection is
+            # computed per lane-major layout in XLA so the dual-layout
+            # boundary relayouts the C-wide input instead of the 3C-wide
+            # QKV tensor (ops/axial_lane.py:lane_axial_attention_from_x).
+            wqkv, bqkv = DenseParams(c, 3 * self.embed_dim, name="input_head")()
+            qn_scale, qn_bias = LayerNormParams(d, name="qnorm")()
+            kn_scale, kn_bias = LayerNormParams(d, name="knorm")()
+            xin = x if self.dtype is None else x.astype(self.dtype)
+            x = lane_axial_attention_from_x(
+                xin, wqkv, bqkv, qn_scale, qn_bias, kn_scale, kn_bias,
+                bias_x, bias_y, scale_x, scale_y, heads=heads,
+            )
+            x = InstanceNorm(self.embed_dim, name="norm2")(x)
+            x = nn.Dense(self.embed_dim, dtype=self.dtype, name="output_head")(x)
+            return self._epilogue(x, inp, drop_path_rate, deterministic)
+
         qkv = nn.Dense(3 * self.embed_dim, dtype=self.dtype, name="input_head")(x)
-        if impl in ("fused_block", "lane"):
-            # qk-LayerNorm runs inside the v3/v5 kernels; only declare its
+        if impl == "fused_block":
+            # qk-LayerNorm runs inside the v3 kernel; only declare its
             # params here (paths identical to nn.LayerNorm, so checkpoints
             # interchange across attn_impl settings).
             qn_scale, qn_bias = LayerNormParams(d, name="qnorm")()
@@ -346,15 +363,7 @@ class AxialAttentionBlock(nn.Module):
 
         # Row (x-direction) attention: sequence along W, (b, h, heads) batched
         # directly on the (b, h, w, heads, d) layout.
-        if impl == "lane":
-            # v5 kernel: lane-major (3C, N) slabs in both axial layouts,
-            # all-heads slab qk-LayerNorm, per-(head, chunk) MXU matmuls
-            # (ops/axial_lane.py).
-            x = lane_axial_attention(
-                qkv, qn_scale, qn_bias, kn_scale, kn_bias,
-                bias_x, bias_y, scale_x, scale_y, heads=heads,
-            )
-        elif impl == "fused_block":
+        if impl == "fused_block":
             # v3 kernel: consumes the raw interleaved (BT,H,W,3C) QKV tensor
             # and runs qk-LayerNorm in-kernel (ops/axial_fused_block.py) —
             # no split/LN/concat materialization at the kernel boundary.

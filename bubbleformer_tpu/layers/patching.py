@@ -36,15 +36,24 @@ class SpaceToDepthConv(nn.Module):
 
     features: int
     dtype: jnp.dtype | None = None
+    # Input already space-to-depth-folded to (B, H/2, W/2, 4*Cin) with
+    # (dy, dx, c) minor order — lets the model fuse the NCHW->NHWC batch
+    # relayout and this stage's window gather into ONE copy (see
+    # AViT._encode).  Same kernel parameter either way.
+    prefolded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        b, h, w, cin = x.shape
+        if self.prefolded:
+            cin = x.shape[-1] // 4
+        else:
+            b, h, w, cin = x.shape
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (2, 2, cin, self.features)
         )
-        x = x.reshape(b, h // 2, 2, w // 2, 2, cin)
-        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, h // 2, w // 2, 4 * cin)
+        if not self.prefolded:
+            x = x.reshape(b, h // 2, 2, w // 2, 2, cin)
+            x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, h // 2, w // 2, 4 * cin)
         k = kernel.reshape(4 * cin, self.features)
         dt = self.dtype or x.dtype
         return jnp.dot(x.astype(dt), k.astype(dt))
@@ -60,6 +69,10 @@ class DepthToSpaceConvT(nn.Module):
 
     features: int
     dtype: jnp.dtype | None = None
+    # Emit (B, C_out, 2H, 2W) channels-first directly: fuses this stage's
+    # depth-to-space shuffle with the model's NHWC->NCHW output relayout
+    # into ONE copy (see AViT._decode).  Same kernel parameter either way.
+    emit_nchw: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -76,6 +89,10 @@ class DepthToSpaceConvT(nn.Module):
         dt = self.dtype or x.dtype
         y = jnp.dot(x.astype(dt), k.astype(dt))  # (b, h, w, 4*out)
         y = y.reshape(b, h, w, 2, 2, self.features)
+        if self.emit_nchw:
+            return jnp.transpose(y, (0, 5, 1, 3, 2, 4)).reshape(
+                b, self.features, 2 * h, 2 * w
+            )
         y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(b, 2 * h, 2 * w, self.features)
         return y
 
@@ -91,16 +108,25 @@ class HMLPEmbed(nn.Module):
     in_channels: int = 3
     embed_dim: int = 768
     impl: str = "s2d"  # "s2d" (space-to-depth matmul) or "conv"; same params
+    # Input already folded to (B, H/2, W/2, 4*Cin) (see SpaceToDepthConv).
+    prefolded_input: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         num_layers = _num_stages(self.patch_size)
+        if self.prefolded_input and self.impl != "s2d":
+            raise ValueError("prefolded_input requires the s2d impl")
         for i in range(num_layers):
             is_last = i == num_layers - 1
             out_ch = self.embed_dim if (is_last or num_layers == 1) else self.embed_dim // 4
             if self.impl == "s2d":
-                x = SpaceToDepthConv(out_ch, dtype=self.dtype, name=f"conv{i}")(x)
+                x = SpaceToDepthConv(
+                    out_ch,
+                    dtype=self.dtype,
+                    prefolded=(i == 0 and self.prefolded_input),
+                    name=f"conv{i}",
+                )(x)
             else:
                 x = nn.Conv(
                     out_ch,
@@ -128,16 +154,25 @@ class HMLPDebed(nn.Module):
     out_channels: int = 3
     embed_dim: int = 768
     impl: str = "s2d"  # "s2d" (depth-to-space matmul) or "conv"; same params
+    # Last stage emits (B, C_out, H, W) channels-first (see DepthToSpaceConvT).
+    emit_nchw: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         num_layers = _num_stages(self.patch_size)
+        if self.emit_nchw and self.impl != "s2d":
+            raise ValueError("emit_nchw requires the s2d impl")
         for i in range(num_layers):
             is_last = i == num_layers - 1
             out_ch = self.out_channels if (is_last or num_layers == 1) else self.embed_dim // 4
             if self.impl == "s2d":
-                x = DepthToSpaceConvT(out_ch, dtype=self.dtype, name=f"deconv{i}")(x)
+                x = DepthToSpaceConvT(
+                    out_ch,
+                    dtype=self.dtype,
+                    emit_nchw=(is_last and self.emit_nchw),
+                    name=f"deconv{i}",
+                )(x)
             else:
                 x = nn.ConvTranspose(
                     out_ch,

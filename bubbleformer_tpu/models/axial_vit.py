@@ -175,12 +175,31 @@ class AViT(nn.Module):
     def _encode(self, x: jax.Array) -> jax.Array:
         """(B, T, C, H, W) -> channels-last patch grid (B, T, h, w, E)."""
         b, t, c, hh, ww = x.shape
-        x = jnp.transpose(x, (0, 1, 3, 4, 2))  # (B, T, H, W, C)
-        x = x.reshape(b * t, hh, ww, c)
+        if self.dtype is not None:
+            # Cast BEFORE the NHWC relayout: the f32 batch would otherwise be
+            # layout-copied at full width and converted afterwards (profiled
+            # ~7 ms/step at the flagship); converting first halves the bytes
+            # the relayout moves and fuses the convert into the copy.
+            x = x.astype(self.dtype)
+        if self.patch_size >= 2:
+            # Fuse the NCHW->NHWC batch relayout with the first pyramid
+            # stage's space-to-depth gather: ONE (dy, dx, c)-minor copy of
+            # the full-resolution tensor instead of two (profiled ~5 ms/step
+            # of separate transpose + 6-D s2d copies at the flagship).
+            x = x.reshape(b * t, c, hh // 2, 2, ww // 2, 2)
+            x = jnp.transpose(x, (0, 2, 4, 3, 5, 1)).reshape(
+                b * t, hh // 2, ww // 2, 4 * c
+            )
+            prefolded = True
+        else:
+            x = jnp.transpose(x, (0, 1, 3, 4, 2))  # (B, T, H, W, C)
+            x = x.reshape(b * t, hh, ww, c)
+            prefolded = False
         x = HMLPEmbed(
             patch_size=self.patch_size,
             in_channels=self.input_fields,
             embed_dim=self.embed_dim,
+            prefolded_input=prefolded,
             dtype=self.dtype,
             name="embed",
         )(x)
@@ -219,13 +238,20 @@ class AViT(nn.Module):
         """(B, T, h, w, E) -> (B, T, C_out, H, W)."""
         b, t = x.shape[:2]
         x = x.reshape(b * t, x.shape[2], x.shape[3], self.embed_dim)
+        emit_nchw = self.patch_size >= 2
         x = HMLPDebed(
             patch_size=self.patch_size,
             out_channels=self.output_fields,
             embed_dim=self.embed_dim,
+            # Mirror of the encode-side fold: the last depth-to-space
+            # shuffle emits channels-first directly, fusing the NHWC->NCHW
+            # output relayout into the same copy.
+            emit_nchw=emit_nchw,
             dtype=self.dtype,
             name="debed",
         )(x)
+        if emit_nchw:
+            return x.reshape(b, t, self.output_fields, x.shape[2], x.shape[3])
         x = x.reshape(b, t, x.shape[1], x.shape[2], self.output_fields)
         return jnp.transpose(x, (0, 1, 4, 2, 3))
 

@@ -101,6 +101,14 @@ def _grid_chunk(h: int, w: int, c: int, n: int, budget: int = int(60e6)) -> int:
     if align >= n or n % align:
         return n
     nk = n // align
+    try:
+        # Sweep hook: cap the per-step chunk (e.g. 256) to trade VMEM
+        # residency for DMA/compute overlap granularity.
+        cap = int(os.environ.get("BUBBLEFORMER_LANE_GRID", "0"))
+    except ValueError:
+        cap = 0
+    if cap:
+        budget = min(budget, 86 * c * max(align, cap))
     k = max(1, min(nk, budget // (86 * c * align)))
     while nk % k:
         k -= 1
@@ -228,12 +236,17 @@ def _axis_fwd(q_s, kv_s, tbl_ref, mblk_ref, scale_ref, axis_idx, o_ref,
 def _fwd_kernel(
     scale_ref, qkv_ref, qkvt_ref, ln_ref, br_ref, bc_ref, mr_ref, mc_ref,
     or_ref, oc_ref, q_s, kv_s,
-    *, n, heads, d, ch_r, ch_c,
+    *, n, heads, d, ch_r, ch_c, bm=False,
 ):
-    _stage(qkv_ref[0].astype(jnp.float32), ln_ref, q_s, kv_s, heads, d)
+    # bm (batch-minor): qkv slabs arrive as (3C, n) windows of a flat
+    # (3C, BT*N) tensor — the layout the stationary-weight XLA projection
+    # emits with zero 3C-wide transposes (lane_axial_attention_from_x).
+    qkv3 = qkv_ref[...] if bm else qkv_ref[0]
+    qkvt3 = qkvt_ref[...] if bm else qkvt_ref[0]
+    _stage(qkv3.astype(jnp.float32), ln_ref, q_s, kv_s, heads, d)
     _axis_fwd(q_s, kv_s, br_ref, mr_ref, scale_ref, 0, or_ref,
               heads, d, ch_r, n)
-    _stage(qkvt_ref[0].astype(jnp.float32), ln_ref, q_s, kv_s, heads, d)
+    _stage(qkvt3.astype(jnp.float32), ln_ref, q_s, kv_s, heads, d)
     _axis_fwd(q_s, kv_s, bc_ref, mc_ref, scale_ref, 1, oc_ref,
               heads, d, ch_c, n)
 
@@ -304,7 +317,8 @@ def _axis_bwd(q_s, kv_s, dao, tbl_ref, mblk_ref, scale_ref, axis_idx,
     return jnp.concatenate(dsc_rows, axis=0)
 
 
-def _qkln_bwd(qkv, dy3, mu, inv, ln_ref, which, dln_ref, out_ref, heads, d):
+def _qkln_bwd(qkv, dy3, mu, inv, ln_ref, which, dln_ref, out_ref, heads, d,
+              bm=False):
     """All-heads qk-LayerNorm backward; writes the raw-component gradient
     rows of the interleaved (3C, N) output ref (temporal megakernel
     pattern)."""
@@ -323,12 +337,15 @@ def _qkln_bwd(qkv, dy3, mu, inv, ln_ref, which, dln_ref, out_ref, heads, d):
     )
     for hd in range(heads):
         base = hd * 3 * d + which * d
-        out_ref[0, base : base + d, :] = draw[hd]
+        if bm:
+            out_ref[base : base + d, :] = draw[hd]
+        else:
+            out_ref[0, base : base + d, :] = draw[hd]
 
 
 def _layout_bwd(qkv3, ln_ref, tbl_ref, mblk_ref, scale_ref, axis_idx, do3,
                 dqkv3, dln_ref, dtbl_ref, q_s, kv_s, dq_s, dkv_s,
-                heads, d, ch, n):
+                heads, d, ch, n, bm=False):
     """Full backward for one layout: restage, chunk grads, LN backward."""
     c = heads * d
     qkv = qkv3.astype(jnp.float32)
@@ -337,14 +354,16 @@ def _layout_bwd(qkv3, ln_ref, tbl_ref, mblk_ref, scale_ref, axis_idx, do3,
                     scale_ref, axis_idx, dtbl_ref, dq_s, dkv_s,
                     heads, d, ch, n)
     _qkln_bwd(qkv, dq_s[...].reshape(heads, d, n), qmu, qinv, ln_ref, 0,
-              dln_ref, dqkv3, heads, d)
+              dln_ref, dqkv3, heads, d, bm)
     _qkln_bwd(qkv, dkv_s[0:c, :].reshape(heads, d, n), kmu, kinv, ln_ref, 1,
-              dln_ref, dqkv3, heads, d)
+              dln_ref, dqkv3, heads, d, bm)
     for hd in range(heads):
         base = hd * 3 * d + 2 * d
-        dqkv3[0, base : base + d, :] = dkv_s[
-            c + hd * d : c + (hd + 1) * d, :
-        ].astype(dqkv3.dtype)
+        dv = dkv_s[c + hd * d : c + (hd + 1) * d, :].astype(dqkv3.dtype)
+        if bm:
+            dqkv3[base : base + d, :] = dv
+        else:
+            dqkv3[0, base : base + d, :] = dv
     return dsc
 
 
@@ -353,7 +372,7 @@ def _bwd_kernel(
     dor_ref, doc_ref,
     dqkv_ref, dqkvt_ref, dln_ref, dbr_ref, dbc_ref, dsr_ref, dsc_ref,
     q_s, kv_s, dq_s, dkv_s,
-    *, n, heads, d, ch_r, ch_c,
+    *, n, heads, d, ch_r, ch_c, bm=False,
 ):
     first = pl.program_id(0) + pl.program_id(1) == 0
 
@@ -365,13 +384,15 @@ def _bwd_kernel(
         dsr_ref[...] = jnp.zeros_like(dsr_ref[...])
         dsc_ref[...] = jnp.zeros_like(dsc_ref[...])
 
-    dsr = _layout_bwd(qkv_ref[0], ln_ref, br_ref, mr_ref, scale_ref, 0,
+    qkv3 = qkv_ref[...] if bm else qkv_ref[0]
+    qkvt3 = qkvt_ref[...] if bm else qkvt_ref[0]
+    dsr = _layout_bwd(qkv3, ln_ref, br_ref, mr_ref, scale_ref, 0,
                       dor_ref[0], dqkv_ref, dln_ref, dbr_ref,
-                      q_s, kv_s, dq_s, dkv_s, heads, d, ch_r, n)
+                      q_s, kv_s, dq_s, dkv_s, heads, d, ch_r, n, bm)
     dsr_ref[...] += dsr
-    dsc = _layout_bwd(qkvt_ref[0], ln_ref, bc_ref, mc_ref, scale_ref, 1,
+    dsc = _layout_bwd(qkvt3, ln_ref, bc_ref, mc_ref, scale_ref, 1,
                       doc_ref[0], dqkvt_ref, dln_ref, dbc_ref,
-                      q_s, kv_s, dq_s, dkv_s, heads, d, ch_c, n)
+                      q_s, kv_s, dq_s, dkv_s, heads, d, ch_c, n, bm)
     dsc_ref[...] += dsc
 
 
@@ -379,7 +400,7 @@ def _bwd_kernel(
 def _make_lane_axial(
     bt: int, n: int, heads: int, d: int, ch_r: int, ch_c: int,
     blk_r: int, blk_c: int, dtype_name: str, interpret: bool,
-    grid_ch: int | None = None,
+    grid_ch: int | None = None, x_batch_minor: bool = False,
 ):
     """``grid_ch``: lanes processed per grid step (v6 streaming).  The whole
     kernel is lane-chunk-parallel (qk-LN normalizes over channels per token;
@@ -393,9 +414,22 @@ def _make_lane_axial(
     gch = n if grid_ch is None else grid_ch
     grid = (bt, n // gch)
 
-    slab3 = pl.BlockSpec(
-        (1, 3 * c, gch), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
-    )
+    if x_batch_minor:
+        # Flat (3C, BT*N) qkv tensors: the layout the stationary-weight XLA
+        # projection produces without any 3C-wide transpose.  Chunks never
+        # cross an image boundary because gch divides N.
+        nch = n // gch
+        slab3 = pl.BlockSpec(
+            (3 * c, gch),
+            lambda i, j: (0, i * nch + j),
+            memory_space=pltpu.VMEM,
+        )
+        qkv_shape = (3 * c, bt * n)
+    else:
+        slab3 = pl.BlockSpec(
+            (1, 3 * c, gch), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        )
+        qkv_shape = (bt, 3 * c, n)
     slab = pl.BlockSpec(
         (1, c, gch), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
@@ -418,7 +452,9 @@ def _make_lane_axial(
         np.full((blk_c, blk_c), 1.0 / blk_c, np.float32),
     )
 
-    kdims = dict(n=gch, heads=heads, d=d, ch_r=ch_r, ch_c=ch_c)
+    kdims = dict(
+        n=gch, heads=heads, d=d, ch_r=ch_r, ch_c=ch_c, bm=x_batch_minor
+    )
     cparams = pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024)
     in_specs = [
         scale_spec, slab3, slab3, const((d, 4)),
@@ -450,8 +486,8 @@ def _make_lane_axial(
             const((heads, ch_r)), const((heads, ch_c)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bt, 3 * c, n), dtype),
-            jax.ShapeDtypeStruct((bt, 3 * c, n), dtype),
+            jax.ShapeDtypeStruct(qkv_shape, dtype),
+            jax.ShapeDtypeStruct(qkv_shape, dtype),
             jax.ShapeDtypeStruct((d, 4), jnp.float32),
             jax.ShapeDtypeStruct((heads * ch_r, ch_r), jnp.float32),
             jax.ShapeDtypeStruct((heads * ch_c, ch_c), jnp.float32),
@@ -567,12 +603,22 @@ def lane_axial_attention(
     qkv_cm_t = (
         qkv.transpose(0, 2, 1, 3).reshape(bt, n, c3).transpose(0, 2, 1)
     )
+    return _run_lane(
+        qkv_cm, qkv_cm_t, ln, scale, bias_x, bias_y,
+        bt, h, w, n, heads, d, ch_r, ch_c, gch, dtype, interpret,
+    )
+
+
+def _run_lane(qkv_cm, qkv_cm_t, ln, scale, bias_x, bias_y,
+              bt, h, w, n, heads, d, ch_r, ch_c, gch, dtype, interpret,
+              x_batch_minor=False):
+    c = heads * d
+    f32 = jnp.float32
     br = _build_table(bias_x, heads, w, ch_r)
     bc = _build_table(bias_y, heads, h, ch_c)
-
     fused = _make_lane_axial(
         bt, n, heads, d, ch_r, ch_c, w, h, str(dtype), bool(interpret),
-        grid_ch=gch,
+        grid_ch=gch, x_batch_minor=x_batch_minor,
     )
     o_row, o_colt = fused(qkv_cm, qkv_cm_t, ln, br, bc, scale)
     o_r = o_row.transpose(0, 2, 1).reshape(bt, h, w, c)
@@ -581,3 +627,89 @@ def lane_axial_attention(
     )
     out = (0.5 * (o_r.astype(f32) + o_c.astype(f32))).astype(dtype)
     return jax.ad_checkpoint.checkpoint_name(out, "flash_attn")
+
+
+def lane_axial_attention_from_x(
+    x: jax.Array,
+    wqkv: jax.Array,
+    bqkv: jax.Array,
+    qn_scale: jax.Array,
+    qn_bias: jax.Array,
+    kn_scale: jax.Array,
+    kn_bias: jax.Array,
+    bias_x: jax.Array | None = None,
+    bias_y: jax.Array | None = None,
+    scale_x: jax.Array | None = None,
+    scale_y: jax.Array | None = None,
+    heads: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Lane axial attention from the block input ``x`` (pre-QKV).
+
+    Moves the dual-layout boundary from the 3C-wide QKV tensor to the
+    C-wide input: relayout ``x`` into both lane-major layouts (3x less HBM
+    relayout traffic than transposing QKV, forward and backward) and run
+    the stationary-weight projection once per layout in XLA — the extra
+    (3C, C) @ (C, N) matmul is noise on the MXU next to the copies it
+    deletes (profiled ~4.8 ms/step of {2,1,0}<->{1,2,0} QKV copies at the
+    flagship).  ``x``: ``(BT, H, W, C)`` — the InstanceNorm1 output.
+    """
+    bt, h, w, c = x.shape
+    if heads is None:
+        raise ValueError("heads must be given")
+    d = c // heads
+    n = h * w
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    target = _resolve_chunk_target()
+    gch = n if interpret else _grid_chunk(h, w, c, n)
+    ch_r = _pick_chunk(w, gch, target)
+    ch_c = _pick_chunk(h, gch, target)
+    if not interpret and not lane_axial_supported(h, w, c, heads, target):
+        raise ValueError(
+            f"attn_impl='lane' does not support token grid {h}x{w} with "
+            f"C={c}, heads={heads} (needs h*w % 128 == 0, head_dim % 8 == "
+            f"0, max(h, w) <= 512). Use attn_impl='fused_block' for this "
+            f"shape, or 'auto' which routes per-shape."
+        )
+
+    f32 = jnp.float32
+    ln = jnp.stack(
+        [
+            qn_scale.astype(f32),
+            qn_bias.astype(f32),
+            kn_scale.astype(f32),
+            kn_bias.astype(f32),
+        ],
+        axis=1,
+    )
+    ones = jnp.ones((heads,), f32)
+    scale = jnp.stack(
+        [
+            (scale_x if scale_x is not None else ones).astype(f32),
+            (scale_y if scale_y is not None else ones).astype(f32),
+        ],
+        axis=1,
+    )
+
+    dtype = x.dtype
+    # ONE C-wide relayout per layout: (BT*N, C) -> (C, BT*N); the w-major
+    # variant fuses its lane permutation into the same copy.
+    x_cm = x.reshape(bt * n, c).T
+    x_cm_t = x.transpose(0, 2, 1, 3).reshape(bt * n, c).T
+    wt = wqkv.astype(dtype).T  # (3C, C)
+    bcol = bqkv.astype(f32).reshape(3 * c, 1)
+
+    def project(xc):
+        # (3C, C) @ (C, BT*N) -> (3C, BT*N): stationary-weight MXU matmul
+        # whose output IS the kernel's flat batch-minor layout.
+        y = jax.lax.dot_general(
+            wt, xc, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        return (y + bcol).astype(dtype)
+
+    return _run_lane(
+        project(x_cm), project(x_cm_t), ln, scale, bias_x, bias_y,
+        bt, h, w, n, heads, d, ch_r, ch_c, gch, dtype, interpret,
+        x_batch_minor=True,
+    )

@@ -277,3 +277,43 @@ def test_s2d_impl_equals_conv_impl(cls_name):
         atol=5e-6,
         rtol=1e-5,
     )
+
+
+def test_embed_prefolded_matches_nhwc():
+    """The fused NCHW->s2d input fold equals the NHWC path (same params)."""
+    import numpy as np
+    from bubbleformer_tpu.layers.patching import HMLPEmbed
+
+    rng = np.random.default_rng(3)
+    x_nchw = jnp.asarray(rng.standard_normal((2, 4, 16, 16)).astype(np.float32))
+    x_nhwc = jnp.transpose(x_nchw, (0, 2, 3, 1))
+    b, c, hh, ww = x_nchw.shape
+    folded = jnp.transpose(
+        x_nchw.reshape(b, c, hh // 2, 2, ww // 2, 2), (0, 2, 4, 3, 5, 1)
+    ).reshape(b, hh // 2, ww // 2, 4 * c)
+
+    plain = HMLPEmbed(patch_size=4, in_channels=4, embed_dim=32)
+    pre = HMLPEmbed(patch_size=4, in_channels=4, embed_dim=32, prefolded_input=True)
+    v = plain.init(jax.random.key(0), x_nhwc)
+    np.testing.assert_allclose(
+        np.asarray(pre.apply(v, folded)),
+        np.asarray(plain.apply(v, x_nhwc)),
+        atol=1e-6, rtol=1e-6,
+    )
+
+
+def test_debed_emit_nchw_matches_transpose():
+    """emit_nchw output equals transposing the NHWC output (same params)."""
+    import numpy as np
+    from bubbleformer_tpu.layers.patching import HMLPDebed
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 32)).astype(np.float32))
+    plain = HMLPDebed(patch_size=4, out_channels=3, embed_dim=32)
+    nchw = HMLPDebed(patch_size=4, out_channels=3, embed_dim=32, emit_nchw=True)
+    v = plain.init(jax.random.key(0), x)
+    np.testing.assert_allclose(
+        np.asarray(nchw.apply(v, x)),
+        np.asarray(jnp.transpose(plain.apply(v, x), (0, 3, 1, 2))),
+        atol=1e-6, rtol=1e-6,
+    )
