@@ -60,8 +60,13 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
-        # Strided per-host shard of the shared permutation.
-        return order[self.process_index :: self.process_count]
+        # Strided per-host shard of the shared permutation, truncated to the
+        # common length: every process MUST run the same number of steps per
+        # epoch or the ones with one extra batch deadlock in the collectives.
+        shard = order[self.process_index :: self.process_count]
+        if self.process_count > 1:
+            shard = shard[: n // self.process_count]
+        return shard
 
     def __len__(self) -> int:
         n_local = len(self._local_indices())

@@ -83,6 +83,28 @@ class ForecastModule:
         )
         self.optimizer = make_optimizer(self.optim_cfg["name"], self.schedule, **opt_params)
 
+    def _loss(self, pred, tgt):
+        """Training criterion.  ``BUBBLEFORMER_LOSS_KERNEL=1`` routes the 5-D
+        NCHW case through the Pallas plane-norm kernel (``ops/lp_loss.py``) —
+        numerically the same LpLoss (golden-tested).  Off by default: the
+        kernel was built to pin the loss operands to canonical layout and
+        delete ~18 ms/step of loss-side relayouts seen in the 2026-08-19
+        profile, but measured END-TO-END it regresses the flagship step
+        107.3 -> 120.1 ms — the pin forces the decoder's output transpose to
+        materialize ahead of the custom call, which costs more than the
+        relayouts it deletes (negative result recorded in DESIGN.md)."""
+        import os
+
+        if (
+            pred.ndim == 5
+            and os.environ.get("BUBBLEFORMER_LOSS_KERNEL", "0") == "1"
+            and jax.default_backend() == "tpu"
+        ):
+            from bubbleformer_tpu.ops.lp_loss import training_lp_loss
+
+            return training_lp_loss(pred, tgt)
+        return self.criterion(pred, tgt)
+
     # -- batch plumbing ------------------------------------------------------
     def apply(self, variables, batch, train: bool, rngs=None, mutable=False):
         inp = batch[0]
@@ -113,7 +135,6 @@ class ForecastModule:
     # -- steps ----------------------------------------------------------------
     def make_train_step(self):
         optimizer = self.optimizer
-        criterion = self.criterion
         schedule = self.schedule
 
         def train_step(state: TrainState, batch, rng: jax.Array):
@@ -137,7 +158,7 @@ class ForecastModule:
                     new_bs = updates.get("batch_stats")
                 else:
                     pred, new_bs = out, None
-                loss = criterion(pred, self.target(batch))
+                loss = self._loss(pred, self.target(batch))
                 return loss, new_bs
 
             (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -159,14 +180,12 @@ class ForecastModule:
         return train_step
 
     def make_eval_step(self):
-        criterion = self.criterion
-
         def eval_step(state: TrainState, batch):
             variables = {"params": state.params}
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
             pred = self.apply(variables, batch, train=False)
-            return {"loss": criterion(pred, self.target(batch))}, pred
+            return {"loss": self._loss(pred, self.target(batch))}, pred
 
         return eval_step
 

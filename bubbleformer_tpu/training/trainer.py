@@ -149,6 +149,7 @@ class Trainer:
     # -- device placement ----------------------------------------------------
     def _put_batch(self, batch) -> Tuple[jax.Array, ...]:
         parts = []
+        pc = jax.process_count()
         for part in batch:
             arr = np.asarray(part)
             if self.transfer_dtype is not None and arr.dtype == np.float32:
@@ -156,7 +157,22 @@ class Trainer:
                 import ml_dtypes
 
                 arr = arr.astype(ml_dtypes.bfloat16)
-            parts.append(jax.device_put(arr, self._batch_sharding))
+            if pc > 1:
+                # Each process's loader yields its own disjoint shard of the
+                # global permutation; the global batch is their concatenation
+                # along the data axis (per-process batch_size B -> global
+                # B * process_count).  A plain device_put here would treat the
+                # LOCAL batch as the global array and silently drop every row
+                # this process does not address.
+                parts.append(
+                    jax.make_array_from_process_local_data(
+                        self._batch_sharding,
+                        arr,
+                        global_shape=(arr.shape[0] * pc,) + arr.shape[1:],
+                    )
+                )
+            else:
+                parts.append(jax.device_put(arr, self._batch_sharding))
         return tuple(parts)
 
     def _device_prefetch(self, iterable, limit: int):
@@ -183,9 +199,16 @@ class Trainer:
             state = self.module.init_state(rng, sample_batch)
         # Place parameters under the mesh partitioning rules (replicated on a
         # pure-data mesh) and replicate the rest of the state accordingly.
+        # The opt-state placement must name its sharding explicitly: in a
+        # multi-process world the freshly-initialized leaves are global
+        # arrays, and a bare device_put (= copy to the default local device)
+        # rejects non-addressable inputs.
+        from bubbleformer_tpu.parallel.mesh import replicated
+
+        repl = replicated(self.mesh)
         return state.replace(
             params=shard_params(state.params, self.mesh),
-            opt_state=jax.device_put(state.opt_state),
+            opt_state=jax.tree.map(lambda x: jax.device_put(x, repl), state.opt_state),
         )
 
     def restore(self, ckpt_path: str, sample_batch) -> TrainState:

@@ -104,6 +104,14 @@ def main(argv=None) -> None:
     limit_train = cfg.get("limit_train_batches", 1000)
     steps_per_epoch = min(len(train_loader), limit_train)
     total_steps = steps_per_epoch * cfg["max_epochs"]
+    # One line per host at startup (the DDP-style world report): rank, world
+    # size, local shard size, and the resulting global batch.
+    print(
+        f"process {jax.process_index()}/{jax.process_count()}: "
+        f"{len(train_loader)} train batches/epoch, local batch "
+        f"{cfg['batch_size']} (global {cfg['batch_size'] * jax.process_count()})",
+        flush=True,
+    )
 
     # Strategy-via-config (the reference exposes its distributed strategy
     # entirely through Trainer config, reference train.py:159-166): the mesh

@@ -126,3 +126,27 @@ def test_heatflux_kl_divergence_sanity():
     shifted = heatflux_kl_divergence(a, a + 3.0)
     assert same < 0.01
     assert shifted > same
+
+
+def test_pallas_lp_loss_matches_reference():
+    """ops/lp_loss.py (the TPU layout-pinning kernel) == LpLoss with the
+    training reduce config, value and pred-gradient (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bubbleformer_tpu.ops.lp_loss import training_lp_loss
+    from bubbleformer_tpu.utils.losses import LpLoss
+
+    rng = np.random.default_rng(17)
+    pred = jnp.asarray(rng.standard_normal((2, 3, 4, 16, 24)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((2, 3, 4, 16, 24)).astype(np.float32))
+    ref = LpLoss(d=2, p=2, reduce_dims=[0, 1, 2], reductions=["mean", "mean", "sum"])
+
+    v_k = float(training_lp_loss(pred, tgt))
+    v_r = float(ref(pred, tgt))
+    np.testing.assert_allclose(v_k, v_r, rtol=1e-6)
+
+    g_k = jax.grad(lambda p: training_lp_loss(p, tgt))(pred)
+    g_r = jax.grad(lambda p: ref(p, tgt))(pred)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r), atol=1e-6, rtol=1e-5)
