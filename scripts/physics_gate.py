@@ -23,6 +23,15 @@ import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax
+
+# Run on CPU by default: the gate asserts learning/physics, not speed, and
+# the environment's axon TPU plugin ignores JAX_PLATFORMS=cpu — forcing it
+# in-process keeps the gate off the (single, possibly busy) TPU chip.
+# Set BUBBLEFORMER_PHYSICS_TPU=1 to run on the chip instead.
+if not os.environ.get("BUBBLEFORMER_PHYSICS_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 # Round-3 learning gate (VERDICT r2 item 4): the round-2 tolerances admitted
@@ -45,8 +54,9 @@ TOLERANCES = {
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="PHYSICS_r03.json")
-    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--train-batches", type=int, default=50)
+    ap.add_argument("--warmup-iters", type=int, default=20)
     ap.add_argument("--windows", type=int, default=10)
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
@@ -74,6 +84,13 @@ def main() -> None:
         "limit_val_batches=2",
         f"log_dir={log_dir}",
         "use_wandb=false",
+        # The default schedule warms up over 1000 iters (reference-sized for
+        # multi-day runs); this gate's whole budget is a few hundred steps,
+        # so without this override the model trains at ~0 learning rate and
+        # cannot beat the zero predictor (measured: 128 steps ended at
+        # lr 3e-5 of 2.5e-4, train loss 4.26 -> 4.12, rollout rel-L2 1.05
+        # vs untrained 1.04).
+        f"scheduler_cfg.params.warmup_iters={args.warmup_iters}",
     ])
 
     # 3. Rollout on the held-out trajectory, fully on device.
