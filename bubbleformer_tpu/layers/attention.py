@@ -22,8 +22,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from bubbleformer_tpu.layers.linear import GeluMLP
-from bubbleformer_tpu.layers.norm import DenseParams, InstanceNorm, LayerNormParams
+from bubbleformer_tpu.layers.linear import GeluMLP, GeluMLPCM
+from bubbleformer_tpu.layers.norm import (
+    DenseParams,
+    InstanceNorm,
+    InstanceNormCM,
+    LayerNormParams,
+)
 from bubbleformer_tpu.layers.positional import make_bias_module
 from bubbleformer_tpu.layers.stochastic import drop_path
 from bubbleformer_tpu.ops.attention import (
@@ -33,6 +38,7 @@ from bubbleformer_tpu.ops.attention import (
 )
 from bubbleformer_tpu.ops.axial_block_mega import mega_axial_block
 from bubbleformer_tpu.ops.axial_lane import (
+    lane_axial_attention_cm,
     lane_axial_attention_from_x,
     lane_axial_supported,
 )
@@ -127,6 +133,10 @@ class TemporalAttentionBlock(nn.Module):
     bias_type: str = "rel"
     attn_scale: bool = True
     attn_impl: str = "auto"  # "auto" | "flash" (Pallas) | "packed" | "plain"
+    # Channel-major carry (models/axial_vit.py carry="cm"): __call__ takes
+    # and returns (C, B, T, N) and the whole branch runs through the
+    # megakernel with zero boundary transposes.
+    carry_cm: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -136,8 +146,46 @@ class TemporalAttentionBlock(nn.Module):
         drop_path_rate: jax.Array | float = 0.0,
         deterministic: bool = True,
     ) -> jax.Array:
-        b, t, h, w, c = x.shape
         heads = self.num_heads
+        if self.carry_cm:
+            c, b, t, n = x.shape
+            d = c // heads
+            inp = x
+            bias_mod = make_bias_module(self.bias_type, heads)
+            bias = bias_mod(t, t) if bias_mod is not None else None
+            scale = (
+                self.param("attn_scale_factor", nn.initializers.ones, (heads,))
+                if self.attn_scale
+                else None
+            )
+            in1_s, in1_b = LayerNormParams(self.embed_dim, name="norm1")()
+            wqkv, bqkv = DenseParams(c, 3 * self.embed_dim, name="input_head")()
+            qn_scale, qn_bias = LayerNormParams(d, name="qnorm")()
+            kn_scale, kn_bias = LayerNormParams(d, name="knorm")()
+            in2_s, in2_b = LayerNormParams(self.embed_dim, name="norm2")()
+            wout, bout = DenseParams(
+                self.embed_dim, self.embed_dim, name="output_head"
+            )()
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.embed_dim,),
+            )
+            xin = x if self.dtype is None else x.astype(self.dtype)
+            branch = mega_temporal_block(
+                xin.reshape(c, b * t * n), in1_s, in1_b, wqkv, bqkv,
+                qn_scale, qn_bias, kn_scale, kn_bias, in2_s, in2_b,
+                wout * gamma[None, :], bout * gamma, bias, scale,
+                heads=heads, cm_dims=(b, t),
+            ).reshape(c, b, t, n)
+            rng = None if deterministic else self.make_rng("droppath")
+            return (
+                drop_path(branch, drop_path_rate, rng, deterministic,
+                          batch_axis=1)
+                + inp
+            )
+
+        b, t, h, w, c = x.shape
         d = c // heads
         inp = x
 
@@ -278,6 +326,11 @@ class AxialAttentionBlock(nn.Module):
     attn_scale: bool = True
     feat_scale: bool = True
     attn_impl: str = "auto"  # "auto" | "flash" (Pallas) | "packed" | "plain"
+    # Channel-major carry (models/axial_vit.py carry="cm"): __call__ takes
+    # and returns (C, BT, N); ``grid_hw`` supplies the token grid the flat
+    # token axis folds.
+    carry_cm: bool = False
+    grid_hw: tuple[int, int] | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -287,8 +340,50 @@ class AxialAttentionBlock(nn.Module):
         drop_path_rate: jax.Array | float = 0.0,
         deterministic: bool = True,
     ) -> jax.Array:
-        b, h, w, c = x.shape
         heads = self.num_heads
+        if self.carry_cm:
+            c, bt, n = x.shape
+            d = c // heads
+            h, w = self.grid_hw
+            inp = x
+            bias_mod = make_bias_module(self.bias_type, heads)
+            bias_x = bias_mod(w, w) if bias_mod is not None else None
+            scale_x = (
+                self.param("attn_scale_factor_x", nn.initializers.ones, (heads,))
+                if self.attn_scale
+                else None
+            )
+            bias_y = bias_mod(h, h) if bias_mod is not None else None
+            scale_y = (
+                self.param("attn_scale_factor_y", nn.initializers.ones, (heads,))
+                if self.attn_scale
+                else None
+            )
+            x = InstanceNormCM(self.embed_dim, name="norm1")(x)
+            wqkv, bqkv = DenseParams(c, 3 * self.embed_dim, name="input_head")()
+            qn_scale, qn_bias = LayerNormParams(d, name="qnorm")()
+            kn_scale, kn_bias = LayerNormParams(d, name="knorm")()
+            xin = x if self.dtype is None else x.astype(self.dtype)
+            y = lane_axial_attention_cm(
+                xin.reshape(c, bt * n), wqkv, bqkv, qn_scale, qn_bias,
+                kn_scale, kn_bias, bias_x, bias_y, scale_x, scale_y,
+                heads=heads, h=h, w=w,
+            )
+            y = InstanceNormCM(self.embed_dim, name="norm2")(
+                y.reshape(c, bt, n)
+            )
+            wo, bo = DenseParams(
+                self.embed_dim, self.embed_dim, name="output_head"
+            )()
+            dt = self.dtype or y.dtype
+            y2 = jax.lax.dot_general(
+                wo.astype(dt), y.reshape(c, bt * n).astype(dt),
+                (((0,), (0,)), ((), ())),
+            ) + bo.astype(dt)[:, None]
+            x = y2.reshape(c, bt, n)
+            return self._epilogue_cm(x, inp, drop_path_rate, deterministic)
+
+        b, h, w, c = x.shape
         d = c // heads
         inp = x
 
@@ -429,6 +524,53 @@ class AxialAttentionBlock(nn.Module):
         x = InstanceNorm(self.embed_dim, name="norm2")(x)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="output_head")(x)
         return self._epilogue(x, inp, drop_path_rate, deterministic)
+
+    def _epilogue_cm(self, x, inp, drop_path_rate, deterministic):
+        """Channel-major twin of :meth:`_epilogue` for ``(C, BT, N)``
+        activations: identical math and parameter paths, reductions over
+        the trailing token axis, per-channel scalars broadcast as columns."""
+        if self.feat_scale:
+            low = self.param(
+                "low_freq_scalar", nn.initializers.zeros, (self.embed_dim,)
+            )
+            high = self.param(
+                "high_freq_scalar", nn.initializers.zeros, (self.embed_dim,)
+            )
+            x_low = jnp.mean(x, axis=-1, keepdims=True)
+            x_high = x - x_low
+            x = (
+                x
+                + x_low * low[:, None, None].astype(x.dtype)
+                + x_high * high[:, None, None].astype(x.dtype)
+            )
+
+        gamma_att = self.param(
+            "gamma_att",
+            nn.initializers.constant(self.layer_scale_init_value),
+            (self.embed_dim,),
+        )
+        rng = None if deterministic else self.make_rng("droppath")
+        x = (
+            drop_path(
+                x * gamma_att[:, None, None].astype(x.dtype),
+                drop_path_rate, rng, deterministic, batch_axis=1,
+            )
+            + inp
+        )
+
+        inp2 = x
+        y = GeluMLPCM(self.embed_dim, dtype=self.dtype, name="mlp")(x)
+        y = InstanceNormCM(self.embed_dim, name="mlp_norm")(y)
+        gamma_mlp = self.param(
+            "gamma_mlp",
+            nn.initializers.constant(self.layer_scale_init_value),
+            (self.embed_dim,),
+        )
+        rng2 = None if deterministic else self.make_rng("droppath")
+        return inp2 + drop_path(
+            gamma_mlp[:, None, None].astype(y.dtype) * y,
+            drop_path_rate, rng2, deterministic, batch_axis=1,
+        )
 
     def _epilogue(self, x, inp, drop_path_rate, deterministic):
         """feat_scale + LayerScale/DropPath residual + MLP sub-block (shared

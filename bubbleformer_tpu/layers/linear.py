@@ -31,6 +31,43 @@ class GeluMLP(nn.Module):
         return x
 
 
+class GeluMLPCM(nn.Module):
+    """:class:`GeluMLP` for channel-major activations ``(C, ...)``.
+
+    Both matmuls run stationary-weight on the MXU: ``W^T (out, in) @
+    x (in, tokens)`` — the natural contraction for the ``carry="cm"``
+    layout of ``models/axial_vit.py``.  Parameter names/shapes match
+    :class:`GeluMLP` (``fc1``/``fc2`` Dense kernels), so checkpoints
+    interchange across carry settings.
+    """
+
+    hidden_dim: int
+    exp_factor: float = 4.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from bubbleformer_tpu.layers.norm import DenseParams
+
+        hidden = int(self.hidden_dim * self.exp_factor)
+        w1, b1 = DenseParams(self.hidden_dim, hidden, name="fc1")()
+        w2, b2 = DenseParams(hidden, self.hidden_dim, name="fc2")()
+        shape = x.shape
+        x2 = x.reshape(shape[0], -1)
+        dt = self.dtype or x.dtype
+
+        def dense_cm(w, b, y):
+            out = jax.lax.dot_general(
+                w.astype(dt), y.astype(dt), (((0,), (0,)), ((), ()))
+            )
+            return out + b.astype(dt)[:, None]
+
+        y = dense_cm(w1, b1, x2)
+        y = nn.gelu(y, approximate=False)
+        y = dense_cm(w2, b2, y)
+        return y.reshape((self.hidden_dim,) + shape[1:])
+
+
 class SirenMLP(nn.Module):
     """Single Dense layer with sine activation (SIREN).
 

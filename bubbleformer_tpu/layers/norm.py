@@ -86,3 +86,34 @@ class InstanceNorm(nn.Module):
         inv = jax.lax.rsqrt(var + self.eps) * scale
         y = xf * inv + (bias - mean * inv)
         return y.astype(x.dtype)
+
+
+class InstanceNormCM(nn.Module):
+    """InstanceNorm for channel-major activations ``(C, *groups, S)``.
+
+    Same semantics as :class:`InstanceNorm` (per-sample, per-channel
+    statistics, biased variance, eps=1e-5) for the ``carry="cm"`` layout of
+    ``models/axial_vit.py``: channels lead, samples are the middle axes and
+    the reduction runs over the trailing token axis.  Parameter names and
+    shapes match :class:`InstanceNorm`, so checkpoints interchange across
+    carry settings.
+    """
+
+    features: int
+    eps: float = 1e-5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        bshape = (self.features,) + (1,) * (x.ndim - 1)
+        scale = scale.reshape(bshape)
+        bias = bias.reshape(bshape)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        mean_sq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        y = xf * inv + (bias - mean * inv)
+        return y.astype(x.dtype)

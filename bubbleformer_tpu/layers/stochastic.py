@@ -20,12 +20,19 @@ def drop_path(
     rate: jax.Array | float,
     rng: jax.Array | None,
     deterministic: bool,
+    batch_axis: int = 0,
 ) -> jax.Array:
-    """Drop the entire residual branch per sample with probability ``rate``."""
+    """Drop the entire residual branch per sample with probability ``rate``.
+
+    ``batch_axis``: which axis indexes samples (0 for the NHWC layouts; 1
+    for the channel-major ``carry="cm"`` layout ``(C, B, ...)``).
+    """
     if deterministic or rng is None:
         return x
     keep = 1.0 - jnp.asarray(rate, dtype=jnp.float32)
-    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    shape = tuple(
+        x.shape[i] if i == batch_axis else 1 for i in range(x.ndim)
+    )
     mask = jax.random.bernoulli(rng, keep, shape=shape)
     # scale_by_keep=True (timm default): preserve expectation.
     scale = jnp.where(keep > 0.0, 1.0 / jnp.maximum(keep, 1e-8), 0.0)

@@ -53,10 +53,43 @@ class SpaceTimeBlock(nn.Module):
     attn_impl: str = "auto"
     layer_scale_init_value: float = 1e-6
     deterministic: bool = True
+    # Channel-major carry: x is (C, B, T, N) throughout the stack (see
+    # AViT.carry); ``grid_hw`` carries the token grid the flat N folds.
+    carry_cm: bool = False
+    grid_hw: Optional[tuple] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, drop_path_rate: jax.Array | float):
+        if self.carry_cm:
+            c, b, t, n = x.shape
+            x = TemporalAttentionBlock(
+                embed_dim=self.embed_dim,
+                num_heads=self.num_heads,
+                attn_scale=self.attn_scale,
+                bias_type=self.bias_type,
+                attn_impl=self.attn_impl,
+                layer_scale_init_value=self.layer_scale_init_value,
+                carry_cm=True,
+                dtype=self.dtype,
+                name="temporal",
+            )(x, drop_path_rate, self.deterministic)
+            x = x.reshape(c, b * t, n)
+            x = AxialAttentionBlock(
+                embed_dim=self.embed_dim,
+                num_heads=self.num_heads,
+                attn_scale=self.attn_scale,
+                feat_scale=self.feat_scale,
+                bias_type=self.bias_type,
+                attn_impl=self.attn_impl,
+                layer_scale_init_value=self.layer_scale_init_value,
+                carry_cm=True,
+                grid_hw=self.grid_hw,
+                dtype=self.dtype,
+                name="spatial",
+            )(x, drop_path_rate, self.deterministic)
+            return x.reshape(c, b, t, n), None
+
         b, t, h, w, c = x.shape
         x = TemporalAttentionBlock(
             embed_dim=self.embed_dim,
@@ -162,6 +195,16 @@ class AViT(nn.Module):
     # activations are sharded along the patch-row dimension between blocks;
     # GSPMD inserts the all-gathers column attention needs.
     spatial_shard_axis: Optional[str] = None
+    # Processor-stack carry layout.  "auto" uses the channel-major carry
+    # (C, B, T, N) whenever the whole stack runs through the lane-major
+    # kernels (TPU + attn_impl="auto" + both kernel gates pass + no spatial
+    # sharding): activations then stay in the kernels' native layout across
+    # all blocks, deleting the per-block NHWC <-> (C, tokens) boundary
+    # transposes (2 per temporal branch + 2 per axial branch, fwd and again
+    # in the remat backward).  "nhwc" forces the channels-last carry;
+    # "cm" forces channel-major (tests force it off-TPU via interpret-mode
+    # kernels).
+    carry: str = "auto"
     dtype: Optional[jnp.dtype] = None
 
     def _maybe_shard_spatial(self, x: jax.Array) -> jax.Array:
@@ -205,10 +248,33 @@ class AViT(nn.Module):
         )(x)
         return x.reshape(b, t, x.shape[1], x.shape[2], self.embed_dim)
 
+    def _use_cm_carry(self, x: jax.Array) -> bool:
+        """Decide the carry layout for this trace (see ``carry``)."""
+        if self.carry == "nhwc" or self.spatial_shard_axis is not None:
+            return False
+        b, t, hh, ww, e = x.shape
+        if (t * hh * ww) % 128:
+            # The flat temporal kernel windows tn lanes per grid step; Mosaic
+            # requires lane windows to be 128-aligned.
+            return False
+        if self.carry == "cm":
+            return True
+        if self.attn_impl != "auto" or jax.default_backend() != "tpu":
+            return False
+        from bubbleformer_tpu.ops.axial_lane import lane_axial_supported
+        from bubbleformer_tpu.ops.temporal_block_mega import (
+            mega_temporal_supported,
+        )
+
+        return mega_temporal_supported(t, hh, ww, e) and lane_axial_supported(
+            hh, ww, e, self.num_heads
+        )
+
     def _process(self, x: jax.Array, train: bool) -> jax.Array:
         dp_rates = jnp.asarray(
             np.linspace(0.0, self.drop_path, self.processor_blocks), dtype=jnp.float32
         )
+        use_cm = self._use_cm_carry(x)
         block_kwargs = dict(
             embed_dim=self.embed_dim,
             num_heads=self.num_heads,
@@ -219,6 +285,15 @@ class AViT(nn.Module):
             deterministic=not train,
             dtype=self.dtype,
         )
+        if use_cm:
+            b, t, hh, ww, e = x.shape
+            n = hh * ww
+            # ONE boundary transpose into the kernels' native channel-major
+            # layout (and one back below) instead of 4 per block.
+            x = jnp.transpose(x.reshape(b * t * n, e), (1, 0)).reshape(
+                e, b, t, n
+            )
+            block_kwargs.update(carry_cm=True, grid_hw=(hh, ww))
         x = self._maybe_shard_spatial(x)
         if self.scan_blocks:
             x, _ = _scanned_blocks(
@@ -232,6 +307,10 @@ class AViT(nn.Module):
             for i in range(self.processor_blocks):
                 x, _ = body(name=f"block{i}", **block_kwargs)(x, dp_rates[i])
                 x = self._maybe_shard_spatial(x)
+        if use_cm:
+            x = jnp.transpose(x.reshape(e, b * t * n), (1, 0)).reshape(
+                b, t, hh, ww, e
+            )
         return x
 
     def _decode(self, x: jax.Array) -> jax.Array:

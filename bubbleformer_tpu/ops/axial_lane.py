@@ -401,6 +401,7 @@ def _make_lane_axial(
     bt: int, n: int, heads: int, d: int, ch_r: int, ch_c: int,
     blk_r: int, blk_c: int, dtype_name: str, interpret: bool,
     grid_ch: int | None = None, x_batch_minor: bool = False,
+    out_flat: bool = False,
 ):
     """``grid_ch``: lanes processed per grid step (v6 streaming).  The whole
     kernel is lane-chunk-parallel (qk-LN normalizes over channels per token;
@@ -433,6 +434,21 @@ def _make_lane_axial(
     slab = pl.BlockSpec(
         (1, c, gch), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
+    if out_flat:
+        # Channel-major carry: outputs (and their cotangents) are flat
+        # (1, C, BT*N) tensors windowed along lanes — the carry layout of
+        # models/axial_vit.py carry="cm", so the per-block (bt, c, n) <->
+        # NHWC back-transposes disappear.
+        nch_o = n // gch
+        slab_o = pl.BlockSpec(
+            (1, c, gch),
+            lambda i, j: (0, 0, i * nch_o + j),
+            memory_space=pltpu.VMEM,
+        )
+        o_shape = (1, c, bt * n)
+    else:
+        slab_o = slab
+        o_shape = (bt, c, n)
     const = lambda shape: pl.BlockSpec(
         shape, (lambda i, j: (0,) * len(shape)), memory_space=pltpu.VMEM
     )
@@ -466,8 +482,8 @@ def _make_lane_axial(
         functools.partial(_fwd_kernel, **kdims),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[slab, slab],
-        out_shape=[jax.ShapeDtypeStruct((bt, c, n), dtype)] * 2,
+        out_specs=[slab_o, slab_o],
+        out_shape=[jax.ShapeDtypeStruct(o_shape, dtype)] * 2,
         scratch_shapes=[
             pltpu.VMEM((c, gch), dtype),
             pltpu.VMEM((2 * c, gch), dtype),
@@ -479,7 +495,7 @@ def _make_lane_axial(
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, **kdims),
         grid=grid,
-        in_specs=in_specs + [slab, slab],
+        in_specs=in_specs + [slab_o, slab_o],
         out_specs=[
             slab3, slab3, const((d, 4)),
             const((heads * ch_r, ch_r)), const((heads * ch_c, ch_c)),
@@ -611,16 +627,25 @@ def lane_axial_attention(
 
 def _run_lane(qkv_cm, qkv_cm_t, ln, scale, bias_x, bias_y,
               bt, h, w, n, heads, d, ch_r, ch_c, gch, dtype, interpret,
-              x_batch_minor=False):
+              x_batch_minor=False, out_cm=False):
     c = heads * d
     f32 = jnp.float32
     br = _build_table(bias_x, heads, w, ch_r)
     bc = _build_table(bias_y, heads, h, ch_c)
     fused = _make_lane_axial(
         bt, n, heads, d, ch_r, ch_c, w, h, str(dtype), bool(interpret),
-        grid_ch=gch, x_batch_minor=x_batch_minor,
+        grid_ch=gch, x_batch_minor=x_batch_minor, out_flat=out_cm,
     )
     o_row, o_colt = fused(qkv_cm, qkv_cm_t, ln, br, bc, scale)
+    if out_cm:
+        # Channel-major carry: keep the flat (C, BT*N) layout; only the
+        # column output needs its w-major lane permutation undone.
+        o_r = o_row.reshape(c, bt * n)
+        o_c = (
+            o_colt.reshape(c, bt, w, h).swapaxes(2, 3).reshape(c, bt * n)
+        )
+        out = (0.5 * (o_r.astype(f32) + o_c.astype(f32))).astype(dtype)
+        return jax.ad_checkpoint.checkpoint_name(out, "flash_attn")
     o_r = o_row.transpose(0, 2, 1).reshape(bt, h, w, c)
     o_c = (
         o_colt.transpose(0, 2, 1).reshape(bt, w, h, c).transpose(0, 2, 1, 3)
@@ -712,4 +737,90 @@ def lane_axial_attention_from_x(
         project(x_cm), project(x_cm_t), ln, scale, bias_x, bias_y,
         bt, h, w, n, heads, d, ch_r, ch_c, gch, dtype, interpret,
         x_batch_minor=True,
+    )
+
+
+def lane_axial_attention_cm(
+    x_cm: jax.Array,
+    wqkv: jax.Array,
+    bqkv: jax.Array,
+    qn_scale: jax.Array,
+    qn_bias: jax.Array,
+    kn_scale: jax.Array,
+    kn_bias: jax.Array,
+    bias_x: jax.Array | None = None,
+    bias_y: jax.Array | None = None,
+    scale_x: jax.Array | None = None,
+    scale_y: jax.Array | None = None,
+    heads: int | None = None,
+    h: int | None = None,
+    w: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Lane axial attention in the channel-major carry, flat in/out.
+
+    ``x_cm``: flat ``(C, BT*N)`` InstanceNorm1 output with lanes ordered
+    (bt, h, w) — the carry layout of ``models/axial_vit.py`` ``carry="cm"``
+    and exactly the h-major lane-major layout that
+    :func:`lane_axial_attention_from_x` otherwise creates by relayout.  In
+    this mode only the w-major twin costs a copy (the h-major input and the
+    row output are already in carry layout), and the averaged output is
+    returned flat ``(C, BT*N)``.
+    """
+    c, btn = x_cm.shape
+    if heads is None or h is None or w is None:
+        raise ValueError("heads, h and w must be given")
+    d = c // heads
+    n = h * w
+    bt = btn // n
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    target = _resolve_chunk_target()
+    gch = n if interpret else _grid_chunk(h, w, c, n)
+    ch_r = _pick_chunk(w, gch, target)
+    ch_c = _pick_chunk(h, gch, target)
+    if not interpret and not lane_axial_supported(h, w, c, heads, target):
+        raise ValueError(
+            f"attn_impl='lane' does not support token grid {h}x{w} with "
+            f"C={c}, heads={heads} (needs h*w % 128 == 0, head_dim % 8 == "
+            f"0, max(h, w) <= 512). Use attn_impl='fused_block' for this "
+            f"shape, or 'auto' which routes per-shape."
+        )
+
+    f32 = jnp.float32
+    ln = jnp.stack(
+        [
+            qn_scale.astype(f32),
+            qn_bias.astype(f32),
+            kn_scale.astype(f32),
+            kn_bias.astype(f32),
+        ],
+        axis=1,
+    )
+    ones = jnp.ones((heads,), f32)
+    scale = jnp.stack(
+        [
+            (scale_x if scale_x is not None else ones).astype(f32),
+            (scale_y if scale_y is not None else ones).astype(f32),
+        ],
+        axis=1,
+    )
+
+    dtype = x_cm.dtype
+    # The w-major twin: the only relayout in this mode (projection and lane
+    # permutation commute, as in lane_axial_attention_from_x).
+    x_cm_t = x_cm.reshape(c, bt, h, w).swapaxes(2, 3).reshape(c, btn)
+    wt = wqkv.astype(dtype).T  # (3C, C)
+    bcol = bqkv.astype(f32).reshape(3 * c, 1)
+
+    def project(xc):
+        y = jax.lax.dot_general(
+            wt, xc, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        return (y + bcol).astype(dtype)
+
+    return _run_lane(
+        project(x_cm), project(x_cm_t), ln, scale, bias_x, bias_y,
+        bt, h, w, n, heads, d, ch_r, ch_c, gch, dtype, interpret,
+        x_batch_minor=True, out_cm=True,
     )

@@ -810,16 +810,28 @@ def mega_temporal_supported(t_len: int, h: int, w: int, c: int) -> bool:
 @functools.lru_cache(maxsize=None)
 def _make_temporal_block(
     b: int, t_len: int, n: int, heads: int, d: int,
-    dtype_name: str, interpret: bool,
+    dtype_name: str, interpret: bool, flat: bool = False,
 ):
     dtype = jnp.dtype(dtype_name)
     c = heads * d
     tn = t_len * n
     grid = (b,)
 
-    x_spec = pl.BlockSpec(
-        (1, c, tn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
+    if flat:
+        # Channel-major carry (models/axial_vit.py carry="cm"): activations
+        # arrive as one flat (1, C, B*T*N) tensor and each grid step windows
+        # tn lanes — the kernel body is unchanged (block shape identical),
+        # only the index map and array shape differ, which is what deletes
+        # the per-block NHWC <-> (C, T*N) boundary transposes.
+        x_spec = pl.BlockSpec(
+            (1, c, tn), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        )
+        x_shape = (1, c, b * tn)
+    else:
+        x_spec = pl.BlockSpec(
+            (1, c, tn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        x_shape = (b, c, tn)
     const = lambda shape: pl.BlockSpec(
         shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM
     )
@@ -837,8 +849,8 @@ def _make_temporal_block(
         in_specs=in_specs,
         out_specs=[x_spec, x_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, c, tn), dtype),
-            jax.ShapeDtypeStruct((b, c, tn), dtype),
+            jax.ShapeDtypeStruct(x_shape, dtype),
+            jax.ShapeDtypeStruct(x_shape, dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((3 * c, tn), dtype),
@@ -860,7 +872,7 @@ def _make_temporal_block(
             const((heads * t_len, tn)), const((heads, tn)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, c, tn), dtype),
+            jax.ShapeDtypeStruct(x_shape, dtype),
             jax.ShapeDtypeStruct((c, 2), jnp.float32),
             jax.ShapeDtypeStruct((3 * c, c), jnp.float32),
             jax.ShapeDtypeStruct((3 * c, 1), jnp.float32),
@@ -931,6 +943,7 @@ def mega_temporal_block(
     scale_factor: jax.Array | None = None,
     heads: int | None = None,
     interpret: bool | None = None,
+    cm_dims: tuple[int, int] | None = None,
 ) -> jax.Array:
     """Whole temporal-attention branch in one kernel launch.
 
@@ -942,12 +955,23 @@ def mega_temporal_block(
     transposed ``(C, T*N)`` layout; this wrapper does the (cheap, XLA-side)
     relayout, the T5-bias lane-table and attn-scale column precomputation,
     and the final reduction of the wide bias/scale gradient rows.
+
+    ``cm_dims=(B, T)``: channel-major carry mode — ``x`` is the flat
+    ``(C, B*T*N)`` activation (the carry layout of
+    ``models/axial_vit.py`` ``carry="cm"``), which is ALREADY the kernel's
+    native layout, so the boundary transposes above disappear and the
+    output is returned flat.
     """
-    b, t_len, h, w, c = x.shape
+    if cm_dims is not None:
+        b, t_len = cm_dims
+        c, btn = x.shape
+        n = btn // (b * t_len)
+    else:
+        b, t_len, h, w, c = x.shape
+        n = h * w
     if heads is None:
         raise ValueError("heads must be given")
     d = c // heads
-    n = h * w
     tn = t_len * n
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -971,10 +995,14 @@ def mega_temporal_block(
         else scale_factor.astype(f32)
     )
 
-    xt = x.reshape(b, tn, c).transpose(0, 2, 1)
+    if cm_dims is not None:
+        xt = x.reshape(1, c, b * tn)  # free: adds a unit leading dim
+    else:
+        xt = x.reshape(b, tn, c).transpose(0, 2, 1)
     dtype = x.dtype
     fused = _make_temporal_block(
-        b, t_len, n, heads, d, str(dtype), bool(interpret)
+        b, t_len, n, heads, d, str(dtype), bool(interpret),
+        flat=cm_dims is not None,
     )
 
     # Wrap the kernel so bias/scale enter/leave in their module-native
@@ -1010,5 +1038,8 @@ def mega_temporal_block(
         bias,
         scale,
     )
-    out = out_t.transpose(0, 2, 1).reshape(b, t_len, h, w, c)
+    if cm_dims is not None:
+        out = out_t.reshape(c, b * tn)
+    else:
+        out = out_t.transpose(0, 2, 1).reshape(b, t_len, h, w, c)
     return jax.ad_checkpoint.checkpoint_name(out, "flash_attn")
