@@ -195,15 +195,17 @@ class AViT(nn.Module):
     # activations are sharded along the patch-row dimension between blocks;
     # GSPMD inserts the all-gathers column attention needs.
     spatial_shard_axis: Optional[str] = None
-    # Processor-stack carry layout.  "auto" uses the channel-major carry
-    # (C, B, T, N) whenever the whole stack runs through the lane-major
-    # kernels (TPU + attn_impl="auto" + both kernel gates pass + no spatial
-    # sharding): activations then stay in the kernels' native layout across
-    # all blocks, deleting the per-block NHWC <-> (C, tokens) boundary
-    # transposes (2 per temporal branch + 2 per axial branch, fwd and again
-    # in the remat backward).  "nhwc" forces the channels-last carry;
-    # "cm" forces channel-major (tests force it off-TPU via interpret-mode
-    # kernels).
+    # Processor-stack carry layout.  "cm" keeps activations in the lane
+    # kernels' native channel-major (C, B, T, N) layout across all blocks,
+    # deleting the per-block NHWC <-> (C, tokens) boundary transposes
+    # (2 per temporal branch + 2 per axial branch, fwd and again in the
+    # remat backward).  Measured on v5e at the flagship shape the cm carry
+    # REGRESSES the step (172 ms vs 115.6 ms nhwc): the transposes it
+    # deletes are worth ~8 ms, but XLA lays out the (C, B*T*N) glue ops
+    # (InstanceNormCM / GeluMLPCM / FiLM) worse than their NHWC twins.
+    # "auto" therefore resolves to nhwc until the cm glue is profiled and
+    # fixed; "cm" stays available as an explicit opt-in (numerics are
+    # pinned identical by tests/test_cm_carry.py).
     carry: str = "auto"
     dtype: Optional[jnp.dtype] = None
 
@@ -259,16 +261,10 @@ class AViT(nn.Module):
             return False
         if self.carry == "cm":
             return True
-        if self.attn_impl != "auto" or jax.default_backend() != "tpu":
-            return False
-        from bubbleformer_tpu.ops.axial_lane import lane_axial_supported
-        from bubbleformer_tpu.ops.temporal_block_mega import (
-            mega_temporal_supported,
-        )
-
-        return mega_temporal_supported(t, hh, ww, e) and lane_axial_supported(
-            hh, ww, e, self.num_heads
-        )
+        # "auto": nhwc for now — the cm carry measured slower end-to-end on
+        # v5e (see the ``carry`` attribute comment); revisit after profiling
+        # the cm glue layouts.
+        return False
 
     def _process(self, x: jax.Array, train: bool) -> jax.Array:
         dp_rates = jnp.asarray(
