@@ -55,6 +55,30 @@ def initialize_distributed() -> None:
     if not multiprocess:
         return  # single process: leave the backend alone
     jax.distributed.initialize()  # raises loudly on misconfiguration
+    _startup_barrier()
+
+
+def _startup_barrier() -> None:
+    """Form the cross-process collective contexts while ranks are still
+    coordinator-synchronized.
+
+    ``jax.distributed.initialize`` barriers every process at the coordination
+    service, but the backend's collective *contexts* (Gloo on CPU) are formed
+    lazily by the first collective — whose key-value rendezvous has a hard
+    ~30 s deadline.  Without an immediate barrier, the first collective runs
+    only after per-rank dataset scans and XLA compiles, and on skewed hosts
+    the ranks arrive minutes apart: the early rank times out in
+    ``GetKeyValue(...) DEADLINE_EXCEEDED`` and the world collapses.  The
+    reference never hits this because Lightning DDP's process-group
+    rendezvous barriers all ranks before any work
+    (``reference/scripts/train.py:159-166``).  One trivial device sync here
+    makes context formation happen at the one moment ranks are provably
+    together; later collectives reuse the contexts and simply block for
+    their peers.
+    """
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("bubbleformer:startup")
 
 
 def is_leader() -> bool:

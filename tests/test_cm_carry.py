@@ -6,11 +6,17 @@ four per block).  These tests pin it to the channels-last carry: identical
 parameter trees, matching forward outputs and matching parameter gradients —
 on CPU the kernels run in interpret mode, so this exercises the exact
 pallas programs the TPU path uses.
+
+Archived (round 4): the cm carry measured SLOWER end-to-end (172 vs
+115.6 ms, DESIGN.md) and ``carry='auto'`` resolves to nhwc — a recorded
+negative result.  The goldens stay runnable via ``-m superseded``.
 """
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.superseded  # cm carry lost end-to-end; kept as recorded negative
 
 from bubbleformer_tpu.models import AViT, FiLMAViT
 

@@ -128,6 +128,7 @@ def test_heatflux_kl_divergence_sanity():
     assert shifted > same
 
 
+@pytest.mark.superseded  # layout pin regressed the step 107->120 ms (DESIGN.md); recorded negative
 def test_pallas_lp_loss_matches_reference():
     """ops/lp_loss.py (the TPU layout-pinning kernel) == LpLoss with the
     training reduce config, value and pred-gradient (interpret mode)."""
