@@ -158,6 +158,13 @@ def main() -> None:
         ],
     )
     ap.add_argument("--scan-blocks", action="store_true")
+    ap.add_argument(
+        "--loss-layout",
+        default=None,
+        choices=["nchw", "nhwc"],
+        help="train-loss layout (nhwc: loss consumes the decoder's native "
+        "channels-last output; no NCHW fold on the train path)",
+    )
     ap.add_argument("--no-remat", action="store_true", help="save all activations (op-count win, more HBM)")
     ap.add_argument("--no-rollout", action="store_true", help="skip the rollout fps metric")
     ap.add_argument(
@@ -169,6 +176,8 @@ def main() -> None:
     args = ap.parse_args()
     args.height = args.height or args.size
     args.width = args.width or args.size
+    if args.loss_layout:
+        os.environ["BUBBLEFORMER_LOSS_LAYOUT"] = args.loss_layout
 
     from bubbleformer_tpu.config import load_config
     from bubbleformer_tpu.data import synthetic_batch

@@ -309,11 +309,18 @@ class AViT(nn.Module):
             )
         return x
 
-    def _decode(self, x: jax.Array) -> jax.Array:
-        """(B, T, h, w, E) -> (B, T, C_out, H, W)."""
+    def _decode(self, x: jax.Array, output_layout: str = "nchw") -> jax.Array:
+        """(B, T, h, w, E) -> (B, T, C_out, H, W) (or (B, T, H, W, C_out)).
+
+        ``output_layout="nhwc"`` skips the channels-first output fold and
+        returns the debed pyramid's native channels-last tensor — the
+        training loss consumes it directly (``ForecastModule._loss_nhwc``)
+        so no output relayout exists on the train path at all.  Same
+        parameters either way (the fold is a pure shuffle).
+        """
         b, t = x.shape[:2]
         x = x.reshape(b * t, x.shape[2], x.shape[3], self.embed_dim)
-        emit_nchw = self.patch_size >= 2
+        emit_nchw = self.patch_size >= 2 and output_layout == "nchw"
         x = HMLPDebed(
             patch_size=self.patch_size,
             out_channels=self.output_fields,
@@ -328,13 +335,21 @@ class AViT(nn.Module):
         if emit_nchw:
             return x.reshape(b, t, self.output_fields, x.shape[2], x.shape[3])
         x = x.reshape(b, t, x.shape[1], x.shape[2], self.output_fields)
+        if output_layout == "nhwc":
+            return x
         return jnp.transpose(x, (0, 1, 4, 2, 3))
 
+    # ForecastModule checks this before passing output_layout (the U-Nets
+    # have no layout-free decode stage).
+    supports_output_layout = True
+
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, output_layout: str = "nchw"
+    ) -> jax.Array:
         x = self._encode(x)
         x = self._process(x, train)
-        return self._decode(x)
+        return self._decode(x, output_layout)
 
 
 @register_model("filmavit")
@@ -352,7 +367,11 @@ class FiLMAViT(AViT):
 
     @nn.compact
     def __call__(  # type: ignore[override]
-        self, x: jax.Array, fluid_params: jax.Array, train: bool = False
+        self,
+        x: jax.Array,
+        fluid_params: jax.Array,
+        train: bool = False,
+        output_layout: str = "nchw",
     ) -> jax.Array:
         x = self._encode(x)
         x = FiLMMLP(
@@ -390,4 +409,4 @@ class FiLMAViT(AViT):
                 x = self._maybe_shard_spatial(x)
         else:
             x = self._process(x, train)
-        return self._decode(x)
+        return self._decode(x, output_layout)

@@ -51,6 +51,7 @@ class ForecastModule:
         total_steps: int,
         normalization_constants: Optional[Tuple[Dict, Dict]] = None,
         compute_dtype: Optional[str] = None,
+        loss_layout: Optional[str] = None,
     ):
         self.model_cfg = dict(model_cfg)
         self.data_cfg = dict(data_cfg)
@@ -71,6 +72,23 @@ class ForecastModule:
         self.criterion = LpLoss(
             d=2, p=2, reduce_dims=[0, 1, 2], reductions=["mean", "mean", "sum"]
         )
+
+        # Training-loss layout.  "nhwc" makes the TRAIN step consume the
+        # decoder pyramid's native channels-last output and computes the
+        # same relative-L2 criterion with its (H, W) plane sums over axes
+        # (2, 3) — the API/eval path stays (B, T, C, H, W).  This deletes
+        # the decoder's channels-first output fold and the loss-side f32
+        # relayouts from the train program entirely (the ~18 ms/step the
+        # 2026-08-19 profile attributed to the loss side; the Pallas
+        # layout-pin kernel attacked the same cost and lost, DESIGN.md).
+        # None -> BUBBLEFORMER_LOSS_LAYOUT env or "nchw".
+        import os
+
+        if loss_layout is None:
+            loss_layout = os.environ.get("BUBBLEFORMER_LOSS_LAYOUT", "nchw")
+        if loss_layout not in ("nchw", "nhwc"):
+            raise ValueError(f"loss_layout must be nchw|nhwc, got {loss_layout!r}")
+        self.loss_layout = loss_layout
 
         opt_params = dict(self.optim_cfg.get("params", {}))
         opt_params.pop("use_triton", None)  # GPU-reference knob; jit fuses on TPU
@@ -105,10 +123,39 @@ class ForecastModule:
             return training_lp_loss(pred, tgt)
         return self.criterion(pred, tgt)
 
+    def _loss_nhwc(self, pred_nhwc, tgt_nhwc):
+        """The training criterion on channels-last (B, T, H, W, C) tensors:
+        identical math to ``LpLoss(d=2, p=2, [0,1,2], [mean,mean,sum])`` —
+        the relative-L2 plane norms sum over the same (H, W) elements, just
+        addressed at axes (2, 3) instead of a flattened trailing dim."""
+        p = pred_nhwc.astype(jnp.float32)
+        t = tgt_nhwc.astype(jnp.float32)
+        diff_norm = jnp.sqrt(jnp.sum((p - t) ** 2, axis=(2, 3)))
+        ynorm = jnp.sqrt(jnp.sum(t * t, axis=(2, 3)))
+        return jnp.mean(jnp.sum(diff_norm / ynorm, axis=-1))
+
+    def _use_nhwc_loss(self) -> bool:
+        return self.loss_layout == "nhwc" and getattr(
+            self.model, "supports_output_layout", False
+        )
+
     # -- batch plumbing ------------------------------------------------------
-    def apply(self, variables, batch, train: bool, rngs=None, mutable=False):
+    def apply(
+        self,
+        variables,
+        batch,
+        train: bool,
+        rngs=None,
+        mutable=False,
+        output_layout: str = "nchw",
+    ):
         inp = batch[0]
-        return self.model.apply(variables, inp, train=train, rngs=rngs, mutable=mutable)
+        kw = {}
+        if output_layout != "nchw":
+            kw["output_layout"] = output_layout
+        return self.model.apply(
+            variables, inp, train=train, rngs=rngs, mutable=mutable, **kw
+        )
 
     def target(self, batch):
         return batch[1]
@@ -140,6 +187,8 @@ class ForecastModule:
         def train_step(state: TrainState, batch, rng: jax.Array):
             step_rng = jax.random.fold_in(rng, state.step)
 
+            use_nhwc = self._use_nhwc_loss()
+
             def loss_fn(params):
                 variables = {"params": params}
                 mutable = False
@@ -152,13 +201,20 @@ class ForecastModule:
                     train=True,
                     rngs={"droppath": step_rng},
                     mutable=mutable,
+                    output_layout="nhwc" if use_nhwc else "nchw",
                 )
                 if mutable:
                     pred, updates = out
                     new_bs = updates.get("batch_stats")
                 else:
                     pred, new_bs = out, None
-                loss = self._loss(pred, self.target(batch))
+                if use_nhwc:
+                    # Target relayout happens once, outside the gradient path
+                    # (constant w.r.t. params — no backward transpose).
+                    tgt = jnp.transpose(self.target(batch), (0, 1, 3, 4, 2))
+                    loss = self._loss_nhwc(pred, tgt)
+                else:
+                    loss = self._loss(pred, self.target(batch))
                 return loss, new_bs
 
             (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -195,8 +251,19 @@ class ConditionedForecastModule(ForecastModule):
 
     conditioned = True
 
-    def apply(self, variables, batch, train: bool, rngs=None, mutable=False):
+    def apply(
+        self,
+        variables,
+        batch,
+        train: bool,
+        rngs=None,
+        mutable=False,
+        output_layout: str = "nchw",
+    ):
         inp, _, cond = batch[0], batch[1], batch[2]
+        kw = {}
+        if output_layout != "nchw":
+            kw["output_layout"] = output_layout
         return self.model.apply(
-            variables, inp, cond, train=train, rngs=rngs, mutable=mutable
+            variables, inp, cond, train=train, rngs=rngs, mutable=mutable, **kw
         )

@@ -140,6 +140,7 @@ def main(argv=None) -> None:
         total_steps=total_steps,
         normalization_constants=normalization_constants,
         compute_dtype=cfg.get("compute_dtype"),
+        loss_layout=cfg.get("loss_layout"),
     )
 
     use_wandb = cfg.get("use_wandb", False)

@@ -69,6 +69,47 @@ def test_train_loss_decreases(tmp_path):
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
+@pytest.mark.parametrize("conditioned", [False, True])
+def test_nhwc_loss_layout_matches_nchw(conditioned):
+    """loss_layout="nhwc" (train path consumes the decoder's channels-last
+    output, no NCHW fold) computes the SAME loss and gradients as the
+    default NCHW path — it is a pure layout change."""
+    if conditioned:
+        batch = synthetic_batch(2, 2, 4, 16, 16, num_fluid_params=9)
+        model_cfg = {
+            "name": "filmavit",
+            "params": dict(TINY_MODEL["params"], num_fluid_params=9),
+        }
+        cls = ConditionedForecastModule
+    else:
+        batch = synthetic_batch(2, 2, 4, 16, 16)
+        model_cfg = TINY_MODEL
+        cls = ForecastModule
+    rng = jax.random.key(0)
+
+    def loss_and_grads(layout):
+        module = make_module(cls, model_cfg=model_cfg, loss_layout=layout)
+        trainer_state = module.init_state(jax.random.key(1), batch)
+        step = module.make_train_step()
+        state2, m = jax.jit(step)(trainer_state, jax.tree.map(jnp.asarray, tuple(batch)), rng)
+        g = jax.tree.map(
+            lambda a, b: np.max(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))),
+            state2.params,
+            trainer_state.params,
+        )
+        return float(m["loss"]), g
+
+    loss_nchw, upd_nchw = loss_and_grads("nchw")
+    loss_nhwc, upd_nhwc = loss_and_grads("nhwc")
+    np.testing.assert_allclose(loss_nhwc, loss_nchw, rtol=1e-5)
+    # Same parameter updates (optimizer consumed identical gradients).
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7),
+        upd_nhwc,
+        upd_nchw,
+    )
+
+
 def test_checkpoint_roundtrip(tmp_path):
     module = make_module(normalization_constants=({"dfun": 1.5}, {"dfun": 2.5}))
     batch = synthetic_batch(2, 2, 4, 16, 16)
