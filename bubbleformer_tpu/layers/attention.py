@@ -59,6 +59,7 @@ def _resolve_attn_impl(
     seq_len: int,
     kind: str = "axial",
     shape: tuple[int, int, int, int] | None = None,
+    memory_lean: bool = False,
 ) -> str:
     """Resolve the 'auto' attention implementation, shape- and kind-aware.
 
@@ -109,6 +110,14 @@ def _resolve_attn_impl(
             return "flash" if on_tpu and seq_len >= 64 else "plain"
         if not on_tpu:
             return "plain"
+        if memory_lean:
+            # Memory-constrained configs (scan_blocks=True is the OOM escape
+            # hatch): the lane kernel's dual-layout QKV projections are two
+            # saveable dots per block under the "dots" remat policy — twice
+            # fused_block's saved-QKV footprint (2 x (3C, BT*N) vs one).
+            # Measured: film_avit_small 512^2 b8 scan fits with fused_block
+            # (356 ms, BENCH_MATRIX_r02) and OOMs with lane routed.
+            return "fused_block"
         if shape is not None and lane_axial_supported(*shape):
             return "lane"
         return "fused_block"
@@ -326,6 +335,10 @@ class AxialAttentionBlock(nn.Module):
     attn_scale: bool = True
     feat_scale: bool = True
     attn_impl: str = "auto"  # "auto" | "flash" (Pallas) | "packed" | "plain"
+    # Memory-constrained resolution hint (set by AViT when scan_blocks=True):
+    # 'auto' prefers the impl with the smallest saved-activation footprint
+    # under the dots remat policy over the fastest one.
+    memory_lean: bool = False
     # Channel-major carry (models/axial_vit.py carry="cm"): __call__ takes
     # and returns (C, BT, N); ``grid_hw`` supplies the token grid the flat
     # token axis folds.
@@ -388,7 +401,8 @@ class AxialAttentionBlock(nn.Module):
         inp = x
 
         impl = _resolve_attn_impl(
-            self.attn_impl, max(h, w), kind="axial", shape=(h, w, c, heads)
+            self.attn_impl, max(h, w), kind="axial", shape=(h, w, c, heads),
+            memory_lean=self.memory_lean,
         )
         bias_mod = make_bias_module(self.bias_type, heads)
         bias_x = bias_mod(w, w) if bias_mod is not None else None

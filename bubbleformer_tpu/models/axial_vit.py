@@ -53,6 +53,9 @@ class SpaceTimeBlock(nn.Module):
     attn_impl: str = "auto"
     layer_scale_init_value: float = 1e-6
     deterministic: bool = True
+    # Prefer the smallest saved-activation footprint when resolving 'auto'
+    # (set by AViT when scan_blocks=True — the memory escape hatch).
+    memory_lean: bool = False
     # Channel-major carry: x is (C, B, T, N) throughout the stack (see
     # AViT.carry); ``grid_hw`` carries the token grid the flat N folds.
     carry_cm: bool = False
@@ -111,6 +114,7 @@ class SpaceTimeBlock(nn.Module):
             bias_type=self.bias_type,
             attn_impl=self.attn_impl,
             layer_scale_init_value=self.layer_scale_init_value,
+            memory_lean=self.memory_lean,
             dtype=self.dtype,
             name="spatial",
         )(x, drop_path_rate, self.deterministic)
@@ -278,6 +282,9 @@ class AViT(nn.Module):
             feat_scale=self.feat_scale,
             bias_type=self.bias_type,
             attn_impl=self.attn_impl,
+            # scan_blocks is the memory escape hatch: resolve 'auto' to the
+            # impls with the smallest saved-dot footprint under remat.
+            memory_lean=self.scan_blocks,
             deterministic=not train,
             dtype=self.dtype,
         )
@@ -391,6 +398,7 @@ class FiLMAViT(AViT):
                 feat_scale=self.feat_scale,
                 bias_type=self.bias_type,
                 attn_impl=self.attn_impl,
+                memory_lean=self.scan_blocks,
                 deterministic=not train,
                 dtype=self.dtype,
             )
