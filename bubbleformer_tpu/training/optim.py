@@ -15,9 +15,60 @@ from __future__ import annotations
 
 from typing import Callable, Union
 
+import jax
+import jax.numpy as jnp
 import optax
 
 Schedule = Union[float, Callable]
+
+_LANES = 1024  # one (8, 128) f32 tile row
+
+
+def flatten_2d(inner: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Run ``inner`` over ONE padded (rows, 1024) buffer of all parameters.
+
+    Same role as ``optax.flatten`` (a single fused elementwise update
+    instead of ~5 tiny ops per leaf — kernel-launch cost is per op on this
+    device), but the flat buffer is 2-D and tile-aligned: profiled on v5e,
+    the 1-D f32[28.9M] ravel gets re-tiled by XLA into a (N/6, 6)
+    T(8, 128) layout inside the step — a 7.4 ms/step relayout of the whole
+    parameter set, every step.  A (rows, 1024) buffer is already in the
+    natural f32 tile shape, so the update math runs without relayouts.
+    Zero-padding is harmless for elementwise optimizers (pad gradients are
+    0; sign(0)=0 keeps Lion's pad updates at 0 up to weight decay of an
+    all-zero pad — also 0).
+    """
+
+    def _ravel(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        flat = jnp.concatenate([jnp.ravel(x) for x in leaves])
+        n = flat.shape[0]
+        pad = (-n) % _LANES
+        if pad:
+            flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+        return flat.reshape(-1, _LANES)
+
+    def _unravel(tree, buf):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        flat = buf.reshape(-1)
+        out, off = [], 0
+        for leaf in leaves:
+            out.append(
+                jax.lax.dynamic_slice_in_dim(flat, off, leaf.size).reshape(leaf.shape)
+            )
+            off += leaf.size
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def init(params):
+        return inner.init(_ravel(params))
+
+    def update(updates, state, params=None):
+        flat_u, state = inner.update(
+            _ravel(updates), state, _ravel(params) if params is not None else None
+        )
+        return _unravel(updates, flat_u), state
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_optimizer(name: str, schedule: Schedule, **params) -> optax.GradientTransformation:
@@ -50,9 +101,11 @@ def make_optimizer(name: str, schedule: Schedule, **params) -> optax.GradientTra
         )
     else:
         raise ValueError(f"Optimizer {name} not supported")
-    # One fused update over a single flat vector instead of ~5 elementwise
+    # One fused update over a single flat buffer instead of ~5 elementwise
     # ops per parameter leaf: the update math is identical (all three
     # optimizers are elementwise), but TPU kernel-launch overhead is per op
     # (~0.1 ms measured through the profiler) and the per-leaf form costs
-    # O(hundreds) of tiny launches per step on a ~100-leaf model.
-    return optax.flatten(opt)
+    # O(hundreds) of tiny launches per step on a ~100-leaf model.  The
+    # buffer is 2-D tile-aligned (see flatten_2d) — the 1-D optax.flatten
+    # form cost a measured 7.4 ms/step whole-parameter relayout on v5e.
+    return flatten_2d(opt)
