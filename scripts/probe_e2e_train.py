@@ -145,8 +145,6 @@ def main() -> None:
     # 3b. Scanned device-only step (no per-call dispatch): the relay's
     # per-operation round-trip inflates every per-call number in this
     # environment; the scanned time is the hardware's actual step.
-    import jax.numpy as jnp
-
     train_step = module.make_train_step()
 
     def scan_steps(s):

@@ -81,20 +81,45 @@ def capture(args) -> str:
     b = trainer._put_batch(batch)
     rng = jax.random.key(0)
 
-    t0 = time.time()
-    state, m = trainer._train_step(state, b, rng)
-    _ = float(m["loss"])
-    log(f"compile+first step: {time.time() - t0:.1f}s")
-    for _ in range(3):
-        state, m = trainer._train_step(state, b, rng)
-    _ = float(m["loss"])
+    if args.scanned:
+        # Trace the SCANNED device-only loop (the recorded bench metric).
+        # Per-call traces overweight donation-boundary relayouts that do
+        # not exist on the scanned path (measured round 4: a 7.4 ms
+        # whole-parameter re-tile appeared per-call only) — profile what
+        # you optimize.
+        train_step = module.make_train_step()
 
-    os.makedirs(args.out, exist_ok=True)
-    jax.profiler.start_trace(args.out)
-    for _ in range(args.trace_steps):
+        def scan_steps(s):
+            def body(carry, _):
+                s2, mtr = train_step(carry, b, rng)
+                return s2, mtr["loss"]
+            return jax.lax.scan(body, s, None, length=args.trace_steps)
+
+        scan_fn = jax.jit(scan_steps, donate_argnums=0)
+        t0 = time.time()
+        state, losses = scan_fn(state)
+        _ = float(losses[-1])
+        log(f"compile+first scanned loop: {time.time() - t0:.1f}s")
+        os.makedirs(args.out, exist_ok=True)
+        jax.profiler.start_trace(args.out)
+        state, losses = scan_fn(state)
+        _ = float(losses[-1])
+        jax.profiler.stop_trace()
+    else:
+        t0 = time.time()
         state, m = trainer._train_step(state, b, rng)
-    _ = float(m["loss"])
-    jax.profiler.stop_trace()
+        _ = float(m["loss"])
+        log(f"compile+first step: {time.time() - t0:.1f}s")
+        for _ in range(3):
+            state, m = trainer._train_step(state, b, rng)
+        _ = float(m["loss"])
+
+        os.makedirs(args.out, exist_ok=True)
+        jax.profiler.start_trace(args.out)
+        for _ in range(args.trace_steps):
+            state, m = trainer._train_step(state, b, rng)
+        _ = float(m["loss"])
+        jax.profiler.stop_trace()
     paths = sorted(
         glob.glob(os.path.join(args.out, "**", "*.xplane.pb"), recursive=True),
         key=os.path.getmtime,
@@ -180,6 +205,13 @@ def main() -> None:
     ap.add_argument("--attn-impl", default="auto")
     ap.add_argument("--scan-blocks", action="store_true")
     ap.add_argument("--trace-steps", type=int, default=5)
+    ap.add_argument(
+        "--scanned",
+        action="store_true",
+        help="trace the scanned device-only loop (the bench metric) instead "
+        "of per-call steps — per-call traces overweight donation-boundary "
+        "relayouts",
+    )
     ap.add_argument("--out", default="/tmp/profile_step")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--xspace", default=None, help="parse an existing trace")
