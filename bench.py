@@ -331,9 +331,20 @@ def main() -> None:
         rollout_fps = n_windows * args.time_window / roll_dt
         log(f"rollout: {rollout_fps:.1f} frames/s ({n_windows} windows x tw{args.time_window})")
 
+    # vs_baseline only makes sense against a baseline of the SAME config:
+    # BENCH_BASELINE.json stores the flagship round-1 number (film_avit_small
+    # 512^2 b4 tw5, unrolled), so non-flagship matrix rows omit the field
+    # rather than print a misleading ratio (VERDICT r4 weak #5: the wide-grid
+    # row printed 0.729 while being ~3x the baseline in per-pixel throughput).
+    is_flagship = (
+        args.model_cfg == "film_avit_small"
+        and args.height == 512 and args.width == 512
+        and args.batch == 4 and args.time_window == 5
+        and not args.scan_blocks
+    )
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
-    vs_baseline = 1.0
-    if os.path.exists(baseline_path):
+    vs_baseline = None
+    if is_flagship and os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline = json.load(f).get("samples_per_sec_per_chip")
         if baseline:
@@ -363,7 +374,7 @@ def main() -> None:
         else f"{args.model_cfg}_{args.size}px_tw{args.time_window}_train_throughput",
         "value": round(samples_per_sec, 3),
         "unit": "samples/s/chip",
-        "vs_baseline": round(vs_baseline, 3),
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline is not None else None,
         "step_ms": round(dt_scan * 1e3, 2),
         "per_call_step_ms": round(dt * 1e3, 2),
         "mfu": round(mfu, 4),

@@ -112,11 +112,15 @@ def _resolve_attn_impl(
             return "plain"
         if memory_lean:
             # Memory-constrained configs (scan_blocks=True is the OOM escape
-            # hatch): the lane kernel's dual-layout QKV projections are two
-            # saveable dots per block under the "dots" remat policy — twice
-            # fused_block's saved-QKV footprint (2 x (3C, BT*N) vs one).
-            # Measured: film_avit_small 512^2 b8 scan fits with fused_block
-            # (356 ms, BENCH_MATRIX_r02) and OOMs with lane routed.
+            # hatch): route lane with its BATCHED-dot projection boundary
+            # (lane_axial_attention_from_x(lean=True)) — under the "dots"
+            # remat policy only the C-wide kernel output is saved per block,
+            # vs fused_block's saved 3C-wide QKV dot.  (Round 4 routed
+            # fused_block here because the non-lean lane boundary saved two
+            # (3C, BT*N) projection dots and OOM'd b8-scan; the lean
+            # boundary removes both, see DESIGN.md.)
+            if shape is not None and lane_axial_supported(*shape):
+                return "lane"
             return "fused_block"
         if shape is not None and lane_axial_supported(*shape):
             return "lane"
@@ -452,6 +456,9 @@ class AxialAttentionBlock(nn.Module):
             x = lane_axial_attention_from_x(
                 xin, wqkv, bqkv, qn_scale, qn_bias, kn_scale, kn_bias,
                 bias_x, bias_y, scale_x, scale_y, heads=heads,
+                # Memory-lean boundary: batched projection dots the remat
+                # policy recomputes instead of saving (scan_blocks configs).
+                lean=self.memory_lean,
             )
             x = InstanceNorm(self.embed_dim, name="norm2")(x)
             x = nn.Dense(self.embed_dim, dtype=self.dtype, name="output_head")(x)

@@ -10,9 +10,65 @@ the surrounding elementwise ops under XLA.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+# Hand-written InstanceNorm VJP: autodiff of the normalize chain keeps the
+# FLOAT32-converted feature map as a residual for the backward — at the
+# embed/debed pyramid resolutions that is a ~500 MB f32 tensor per stage
+# (r05 scanned profile: multiple 1-2 ms/step f32[20,256,256,96] copies).
+# The custom VJP saves only the original-dtype input plus the tiny
+# per-(sample, channel) statistics and recomputes ``xhat`` in the backward
+# — identical math (the standard IN/LN gradient), one cheap fused
+# recompute pass instead of a resident f32 map.
+#
+# ``scale``/``bias`` arrive pre-reshaped to ``x.ndim`` (1s everywhere but
+# the channel axis); their cotangents keep that shape (summed with
+# keepdims) and the caller's reshape maps them back to ``(C,)``.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _instance_norm(axes, eps, x, scale, bias):
+    out, _ = _in_fwd(axes, eps, x, scale, bias)
+    return out
+
+
+def _in_fwd(axes, eps, x, scale, bias):
+    # Single-pass statistics (E[x^2] - E[x]^2) in float32: one read of the
+    # feature map for both moments instead of the two-pass subtract-mean
+    # form — matters at the embed-pyramid resolutions where the maps are
+    # hundreds of MB.
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    mean_sq = jnp.mean(jnp.square(xf), axis=axes, keepdims=True)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    invstd = jax.lax.rsqrt(var + eps)
+    inv = invstd * scale
+    y = xf * inv + (bias - mean * inv)
+    return y.astype(x.dtype), (x, mean, invstd, scale)
+
+
+def _in_bwd(axes, eps, res, dy):
+    x, mean, invstd, scale = res
+    dyf = dy.astype(jnp.float32)
+    xhat = (x.astype(jnp.float32) - mean) * invstd
+    # Affine grads reduce over every axis the broadcast scale is 1-sized in.
+    aff_axes = tuple(i for i, s in enumerate(scale.shape) if s == 1)
+    dscale = jnp.sum(dyf * xhat, axis=aff_axes, keepdims=True)
+    dbias = jnp.sum(dyf, axis=aff_axes, keepdims=True)
+    # Standard biased-variance IN gradient (per-(sample, channel) means over
+    # the statistic axes):
+    #   dx = scale * invstd * (dy - mean(dy) - xhat * mean(dy * xhat))
+    g = dyf * scale
+    m1 = jnp.mean(g, axis=axes, keepdims=True)
+    m2 = jnp.mean(g * xhat, axis=axes, keepdims=True)
+    dx = (invstd * (g - m1 - xhat * m2)).astype(x.dtype)
+    return dx, dscale, dbias
+
+
+_instance_norm.defvjp(_in_fwd, _in_bwd)
 
 
 class LayerNormParams(nn.Module):
@@ -75,17 +131,10 @@ class InstanceNorm(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        # Single-pass statistics (E[x^2] - E[x]^2) in float32: one read of the
-        # feature map for both moments instead of the two-pass subtract-mean
-        # form — matters at the embed-pyramid resolutions where the maps are
-        # hundreds of MB.
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
-        mean_sq = jnp.mean(jnp.square(xf), axis=(-3, -2), keepdims=True)
-        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-        inv = jax.lax.rsqrt(var + self.eps) * scale
-        y = xf * inv + (bias - mean * inv)
-        return y.astype(x.dtype)
+        bshape = (1,) * (x.ndim - 1) + (self.features,)
+        return _instance_norm(
+            (-3, -2), self.eps, x, scale.reshape(bshape), bias.reshape(bshape)
+        )
 
 
 class InstanceNormCM(nn.Module):
@@ -108,12 +157,6 @@ class InstanceNormCM(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         bshape = (self.features,) + (1,) * (x.ndim - 1)
-        scale = scale.reshape(bshape)
-        bias = bias.reshape(bshape)
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        mean_sq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
-        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-        inv = jax.lax.rsqrt(var + self.eps) * scale
-        y = xf * inv + (bias - mean * inv)
-        return y.astype(x.dtype)
+        return _instance_norm(
+            (-1,), self.eps, x, scale.reshape(bshape), bias.reshape(bshape)
+        )

@@ -668,6 +668,7 @@ def lane_axial_attention_from_x(
     scale_y: jax.Array | None = None,
     heads: int | None = None,
     interpret: bool | None = None,
+    lean: bool = False,
 ) -> jax.Array:
     """Lane axial attention from the block input ``x`` (pre-QKV).
 
@@ -678,6 +679,17 @@ def lane_axial_attention_from_x(
     (3C, C) @ (C, N) matmul is noise on the MXU next to the copies it
     deletes (profiled ~4.8 ms/step of {2,1,0}<->{1,2,0} QKV copies at the
     flagship).  ``x``: ``(BT, H, W, C)`` — the InstanceNorm1 output.
+
+    ``lean=True`` (memory-lean boundary, DESIGN.md round-4 note): the dual
+    projections are expressed as BATCHED dots — the weight broadcast over
+    images, batch dims over BT — so the ``dots_with_no_batch_dims_saveable``
+    remat policy RECOMPUTES them in the backward instead of saving two
+    (3C, BT*N) tensors per block.  The policy decision happens on the
+    jaxpr's dimension numbers; XLA's algebraic simplifier still lowers the
+    stationary-weight matmul efficiently.  Per block under the "dots"
+    policy this saves only the C-wide kernel output (vs fused_block's
+    3C-wide QKV dot) — the routing that unjams ``scan_blocks`` configs
+    (b8-scan OOM'd with the saved dual-QKV boundary, BENCH_MATRIX_r04).
     """
     bt, h, w, c = x.shape
     if heads is None:
@@ -718,12 +730,35 @@ def lane_axial_attention_from_x(
     )
 
     dtype = x.dtype
+    wt = wqkv.astype(dtype).T  # (3C, C)
+    bcol = bqkv.astype(f32).reshape(3 * c, 1)
+
+    if lean:
+        # Same relayout traffic (one C-wide transpose per layout), but kept
+        # batched 3-D so the projection dot carries jaxpr batch dims.
+        x_b = x.reshape(bt, n, c).transpose(0, 2, 1)  # (BT, C, N)
+        x_bt = x.transpose(0, 2, 1, 3).reshape(bt, n, c).transpose(0, 2, 1)
+        wt_b = jnp.broadcast_to(wt, (bt,) + wt.shape)
+
+        def project_b(xc):
+            # Batched (BT) stationary-weight matmul -> (BT, 3C, N), which is
+            # exactly the kernel's non-flat qkv layout.  NOT saveable under
+            # dots_with_no_batch_dims_saveable -> recomputed in the backward.
+            y = jax.lax.dot_general(
+                wt_b, xc, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )
+            return (y + bcol).astype(dtype)
+
+        return _run_lane(
+            project_b(x_b), project_b(x_bt), ln, scale, bias_x, bias_y,
+            bt, h, w, n, heads, d, ch_r, ch_c, gch, dtype, interpret,
+        )
+
     # ONE C-wide relayout per layout: (BT*N, C) -> (C, BT*N); the w-major
     # variant fuses its lane permutation into the same copy.
     x_cm = x.reshape(bt * n, c).T
     x_cm_t = x.transpose(0, 2, 1, 3).reshape(bt * n, c).T
-    wt = wqkv.astype(dtype).T  # (3C, C)
-    bcol = bqkv.astype(f32).reshape(3 * c, 1)
 
     def project(xc):
         # (3C, C) @ (C, BT*N) -> (3C, BT*N): stationary-weight MXU matmul

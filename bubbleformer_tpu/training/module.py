@@ -89,6 +89,19 @@ class ForecastModule:
         if loss_layout not in ("nchw", "nhwc"):
             raise ValueError(f"loss_layout must be nchw|nhwc, got {loss_layout!r}")
         self.loss_layout = loss_layout
+        if loss_layout == "nhwc" and not getattr(
+            self.model, "supports_output_layout", False
+        ):
+            # Loud fallback: silently taking the NCHW path would corrupt A/B
+            # perf comparisons for users who set the knob on e.g. a U-Net.
+            import warnings
+
+            warnings.warn(
+                f"loss_layout='nhwc' requested but model "
+                f"{self.model_cfg['name']!r} has no native channels-last "
+                "output path (supports_output_layout); training uses the "
+                "default NCHW loss."
+            )
 
         opt_params = dict(self.optim_cfg.get("params", {}))
         opt_params.pop("use_triton", None)  # GPU-reference knob; jit fuses on TPU

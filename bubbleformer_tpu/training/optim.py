@@ -39,24 +39,33 @@ def flatten_2d(inner: optax.GradientTransformation) -> optax.GradientTransformat
     all-zero pad — also 0).
     """
 
+    # Each leaf occupies a whole number of 1024-lane ROWS of the buffer
+    # (per-leaf zero padding).  With leaves at arbitrary offsets, the
+    # unravel's slices start mid-tile and XLA re-tiles the WHOLE 28.9M
+    # buffer to a gcd-lane layout to serve them — measured 3.8 ms/step
+    # inside the scanned flagship loop (r05 scanned profile: a
+    # f32[28230,1024] -> f32[4817920,6] reshape, 21x tile waste).  Row-
+    # aligned segments make every slice a static whole-row slice of the
+    # natural (8, 128)-tiled buffer.
     def _ravel(tree):
         leaves = jax.tree_util.tree_leaves(tree)
-        flat = jnp.concatenate([jnp.ravel(x) for x in leaves])
-        n = flat.shape[0]
-        pad = (-n) % _LANES
-        if pad:
-            flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
-        return flat.reshape(-1, _LANES)
+        parts = []
+        for x in leaves:
+            flat = jnp.ravel(x)
+            pad = (-flat.shape[0]) % _LANES
+            if pad:
+                flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+            parts.append(flat)
+        return jnp.concatenate(parts).reshape(-1, _LANES)
 
     def _unravel(tree, buf):
         leaves, treedef = jax.tree_util.tree_flatten(tree)
-        flat = buf.reshape(-1)
-        out, off = [], 0
+        out, row = [], 0
         for leaf in leaves:
-            out.append(
-                jax.lax.dynamic_slice_in_dim(flat, off, leaf.size).reshape(leaf.shape)
-            )
-            off += leaf.size
+            rows = (leaf.size + _LANES - 1) // _LANES
+            seg = jax.lax.slice_in_dim(buf, row, row + rows, axis=0).reshape(-1)
+            out.append(seg[: leaf.size].reshape(leaf.shape))
+            row += rows
         return jax.tree_util.tree_unflatten(treedef, out)
 
     def init(params):

@@ -19,6 +19,7 @@ import csv
 import os
 import signal
 import time
+import warnings
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -216,7 +217,27 @@ class Trainer:
         with jax.set_mesh(self.mesh):
             target = self.module.init_state(rng, sample_batch)
         norm_example = self.module.normalization_constants
-        state, norm = self.ckpt.restore(ckpt_path, target, norm_example)
+        try:
+            state, norm = self.ckpt.restore(ckpt_path, target, norm_example)
+        except Exception:
+            # Checkpoint-format compatibility: checkpoints written before the
+            # flatten_2d optimizer buffer (round 4) hold the optimizer state
+            # as optax.flatten's 1-D vector — a different pytree than the
+            # current init's padded (rows, 1024) buffer, so the full-state
+            # restore fails structurally.  Recover the params (+ norm
+            # constants) and re-initialize the optimizer state fresh;
+            # momentum restarts, which is the honest fallback.
+            params, norm = self.ckpt.restore_params(
+                ckpt_path, target.params, norm_example
+            )
+            warnings.warn(
+                f"full-state restore of {ckpt_path} failed (likely a legacy "
+                "pre-flatten_2d optimizer-state layout); restored params only "
+                "and re-initialized the optimizer state (momentum reset)."
+            )
+            state = target.replace(
+                params=params, opt_state=self.module.optimizer.init(params)
+            )
         if norm is not None:
             self.module.normalization_constants = norm
         return state

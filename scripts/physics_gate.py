@@ -49,19 +49,24 @@ import numpy as np
 # within a factor-band of the simulation's, and KL(sim || model) of the
 # per-frame heat-flux distributions (reference
 # ``examples/data_visualization.ipynb`` cell 4) must be finite and bounded.
+# Tolerance rule (adopted round 5 after three rounds of slack drift —
+# rel-L2 in r2, eikonal in r3, the heat-flux band in r4): every tolerance
+# is set to <= 2x its latest recorded measurement, and re-tightened when a
+# new measurement lands.  Latest measurements: eikonal 29.4 (r03), heat-flux
+# mean ratio 1.06 (PHYSICS_r04.json: pred 3197 vs sim 3022), KL 3.71 (r04).
 TOLERANCES = {
     "rollout_rel_l2_final_max": 1.0,   # must beat the zero predictor
     "untrained_improvement_min": 0.9,  # mean rel-L2 < 0.9x untrained
     "eikonal_residual_max": 60.0,      # 2x the r03-measured 29.4
     "vapor_fraction_drift_max": 0.5,
-    "heatflux_mean_ratio_band": 4.0,   # pred mean flux within 4x of sim's
-    "heatflux_kl_max": 5.0,            # KL(sim || model) of flux PDFs
+    "heatflux_mean_ratio_band": 2.0,   # 2x rule; r04 measured ratio 1.06
+    "heatflux_kl_max": 5.0,            # ~1.35x the r04-measured 3.71
 }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="PHYSICS_r04.json")
+    ap.add_argument("--out", default="PHYSICS_r05.json")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--train-batches", type=int, default=50)
     ap.add_argument("--warmup-iters", type=int, default=20)
@@ -259,7 +264,13 @@ def main() -> None:
     band = TOLERANCES["heatflux_mean_ratio_band"]
     if not (np.isfinite(hf_pred).all() and np.isfinite(hf_sim).all()):
         failures.append("non-finite heat flux in rollout")
-    elif not (hf_sm / band <= hf_pm <= hf_sm * band):
+    elif hf_sm <= 0.0:
+        # Sign guard: the band is a ratio test and assumes positive sim
+        # flux; a ~0/negative sim mean (possible on synthetic data where
+        # temperature can exceed heater_temp) would make the band
+        # empty/inverted and fail spuriously even on an exact match.
+        failures.append(f"sim mean heat flux {hf_sm:.2f} <= 0 (band undefined)")
+    elif not (1.0 / band <= hf_pm / hf_sm <= band):
         failures.append(
             f"pred mean heat flux {hf_pm:.1f} outside {band}x band of sim {hf_sm:.1f}"
         )

@@ -126,7 +126,10 @@ def main() -> None:
     b_dev = trainer._put_batch(first)
     jax.block_until_ready(b_dev)
     transfer_dt = time.time() - t0
-    transfer_bytes = bytes_per_batch if args.transfer_dtype is None else bytes_per_batch // 2
+    # Count the bytes actually moved: _put_batch only casts float32 parts
+    # when transfer_dtype is set, so halving the host total would overstate
+    # bandwidth for batches with non-f32 parts (e.g. fluid params).
+    transfer_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(b_dev))
     log(f"host->device transfer: {transfer_dt*1e3:.1f} ms/batch "
         f"({transfer_bytes / transfer_dt / 1e6:.1f} MB/s)")
 

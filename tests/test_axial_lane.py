@@ -193,6 +193,113 @@ def test_lane_supported_gate():
     assert _pick_chunk(160, 1600, target=128) == 160  # target < window
 
 
+def test_lane_lean_projection_matches_plain():
+    """Memory-lean boundary (batched projection dots): identical forward
+    and gradients to the plain XLA path.  The lean form exists so the
+    "dots" remat policy recomputes the dual QKV projections under
+    scan_blocks instead of saving two (3C, BT*N) tensors per block
+    (DESIGN.md round-4 note; BENCH_MATRIX_r04 b8-scan OOM)."""
+    x = jnp.asarray(
+        np.random.default_rng(31)
+        .standard_normal((2, 8, 16, 32))
+        .astype(np.float32)
+    )
+    cot = jnp.asarray(
+        np.random.default_rng(32)
+        .standard_normal((2, 8, 16, 32))
+        .astype(np.float32)
+    )
+    plain = AxialAttentionBlock(embed_dim=32, num_heads=4, attn_impl="plain")
+    lean = AxialAttentionBlock(
+        embed_dim=32, num_heads=4, attn_impl="lane", memory_lean=True
+    )
+    v = plain.init(jax.random.key(0), x)
+    np.testing.assert_allclose(
+        np.asarray(lean.apply(v, x)),
+        np.asarray(plain.apply(v, x)),
+        atol=1e-5,
+        rtol=1e-5,
+    )
+    grads, xgrads = {}, {}
+    for name, blk in [("plain", plain), ("lean", lean)]:
+        def loss(params, xx):
+            return jnp.sum(blk.apply(params, xx) * cot)
+
+        grads[name], xgrads[name] = jax.grad(loss, argnums=(0, 1))(v, x)
+    ga = jtu.tree_leaves_with_path(grads["plain"])
+    gb = jtu.tree_leaves_with_path(grads["lean"])
+    for (k, a), (_, b) in zip(ga, gb):
+        s = max(float(jnp.abs(a).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a) / s, np.asarray(b) / s,
+            atol=2e-5, rtol=2e-4, err_msg=jtu.keystr(k),
+        )
+    s = max(float(jnp.abs(xgrads["plain"]).max()), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(xgrads["plain"]) / s,
+        np.asarray(xgrads["lean"]) / s,
+        atol=2e-5,
+        rtol=2e-4,
+    )
+
+
+def test_lean_projection_dot_not_saved_by_dots_policy():
+    """The point of the lean boundary: under the "dots" remat policy the
+    batched projection dot must be RECOMPUTED (not saved), while the
+    non-lean flat projection dot is saved.  Asserted structurally: the
+    policy callable accepts the non-batched dot's eqn and rejects the
+    batched one."""
+    from jax._src import ad_checkpoint as adc
+    from jax import lax
+
+    policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    # dot_general_p params as emitted by the two projection forms.
+    no_batch = dict(
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=None,
+        preferred_element_type=jnp.float32,
+    )
+    batched = dict(
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=None,
+        preferred_element_type=jnp.float32,
+    )
+    assert policy(lax.dot_general_p, **no_batch)
+    assert not policy(lax.dot_general_p, **batched)
+    del adc
+
+
+def test_memory_lean_auto_routes_lane():
+    """'auto' + memory_lean now routes lane (the lean boundary) for shapes
+    inside the lane gate, and still falls back to fused_block outside it."""
+    from unittest import mock
+
+    from bubbleformer_tpu.layers.attention import _resolve_attn_impl
+
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        assert (
+            _resolve_attn_impl(
+                "auto", 32, kind="axial", shape=(32, 32, 384, 6),
+                memory_lean=True,
+            )
+            == "lane"
+        )
+        assert (
+            _resolve_attn_impl(
+                "auto", 64, kind="axial", shape=(64, 64, 384, 6),
+                memory_lean=True,
+            )
+            == "lane"
+        )  # 1024^2 / p16
+        assert (
+            _resolve_attn_impl(
+                "auto", 1024, kind="axial", shape=(1024, 64, 384, 6),
+                memory_lean=True,
+            )
+            == "fused_block"
+        )
+
+
 def test_lane_chunked_grid_matches_whole_slab():
     """v6 streaming: an explicitly chunked grid (grid_lanes < n) must be
     numerically identical to the whole-slab path, forward and gradients

@@ -166,6 +166,7 @@ def test_train_cli_two_process_e2e(samples_dir, tmp_path):
     assert [d for d in os.listdir(run_dir) if d.startswith("last")], os.listdir(run_dir)
 
 
+@pytest.mark.slow
 def test_train_cli_two_process_dp_sp(samples_dir, tmp_path):
     """Sequence parallelism ACROSS process boundaries (VERDICT r3 stretch
     item 10): 2 processes x 4 virtual CPU devices each, ``mesh_cfg=dp_sp``

@@ -246,6 +246,33 @@ def test_optimizer_golden_vs_torch(name):
     )
 
 
+def test_flatten_2d_aligned_segments():
+    """flatten_2d with odd-sized leaves: updates must round-trip exactly
+    through the row-aligned (rows, 1024) buffer (each leaf padded to whole
+    1024-lane rows — the layout that avoids the measured 3.8 ms/step
+    whole-buffer re-tile of mid-tile slices, r05 scanned profile), and a
+    plain-SGD-like inner transform must reproduce per-leaf math."""
+    import optax
+
+    from bubbleformer_tpu.training.optim import flatten_2d
+
+    rng = np.random.default_rng(3)
+    tree = {
+        "a": jnp.asarray(rng.standard_normal((7, 13)).astype(np.float32)),
+        "b": jnp.asarray(rng.standard_normal((1025,)).astype(np.float32)),
+        "c": jnp.asarray(rng.standard_normal((2, 1024)).astype(np.float32)),
+        "d": jnp.asarray(rng.standard_normal((1,)).astype(np.float32)),
+    }
+    opt = flatten_2d(optax.sgd(learning_rate=0.5))
+    state = opt.init(tree)
+    updates, _ = opt.update(tree, state, tree)
+    for k in tree:
+        np.testing.assert_allclose(
+            np.asarray(updates[k]), -0.5 * np.asarray(tree[k]), rtol=1e-6,
+            err_msg=k,
+        )
+
+
 def test_preemption_checkpoint(tmp_path):
     """SIGTERM mid-fit must produce a consistent numbered checkpoint."""
     import signal
