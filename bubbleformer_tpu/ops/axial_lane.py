@@ -396,6 +396,201 @@ def _bwd_kernel(
     dsc_ref[...] += dsc
 
 
+def _fwd_kernel_px(
+    scale_ref, x_ref, xt_ref, wqkvt_ref, bqkv_ref, ln_ref, br_ref, bc_ref,
+    mr_ref, mc_ref, or_ref, oc_ref, qkv_s, q_s, kv_s,
+    *, n, heads, d, ch_r, ch_c,
+):
+    """v7: QKV projection in-kernel (stationary ``wqkvt`` (3C, C) in VMEM,
+    one MXU matmul per layout per chunk).  Deletes the dual (3C, BT*N) QKV
+    slabs from HBM entirely — the r05 scanned profile shows ~8 ms/step of
+    XLA projection matmuls paying transposing-layout penalties plus the
+    slab write/read traffic at the old boundary."""
+    c = heads * d
+    for x_in, tbl_ref, mblk_ref, axis_idx, o_ref, ch in (
+        (x_ref, br_ref, mr_ref, 0, or_ref, ch_r),
+        (xt_ref, bc_ref, mc_ref, 1, oc_ref, ch_c),
+    ):
+        qkv_s[...] = (
+            jax.lax.dot_general(
+                wqkvt_ref[...], x_in[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bqkv_ref[...]
+        ).astype(qkv_s.dtype)
+        _stage(qkv_s[...].astype(jnp.float32), ln_ref, q_s, kv_s, heads, d)
+        _axis_fwd(q_s, kv_s, tbl_ref, mblk_ref, scale_ref, axis_idx, o_ref,
+                  heads, d, ch, n)
+
+
+def _bwd_kernel_px(
+    scale_ref, x_ref, xt_ref, wqkvt_ref, bqkv_ref, ln_ref, br_ref, bc_ref,
+    mr_ref, mc_ref, dor_ref, doc_ref,
+    dx_ref, dxt_ref, dw_ref, db_ref, dln_ref, dbr_ref, dbc_ref,
+    dsr_ref, dsc_ref,
+    qkv_s, q_s, kv_s, dq_s, dkv_s,
+    *, n, heads, d, ch_r, ch_c,
+):
+    first = pl.program_id(0) + pl.program_id(1) == 0
+
+    @pl.when(first)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref[...])
+        db_ref[...] = jnp.zeros_like(db_ref[...])
+        dln_ref[...] = jnp.zeros_like(dln_ref[...])
+        dbr_ref[...] = jnp.zeros_like(dbr_ref[...])
+        dbc_ref[...] = jnp.zeros_like(dbc_ref[...])
+        dsr_ref[...] = jnp.zeros_like(dsr_ref[...])
+        dsc_ref[...] = jnp.zeros_like(dsc_ref[...])
+
+    f32 = jnp.float32
+    for x_in, tbl_ref, mblk_ref, axis_idx, do_ref, dx_out, dtbl_ref, dsc_acc, ch in (
+        (x_ref, br_ref, mr_ref, 0, dor_ref, dx_ref, dbr_ref, dsr_ref, ch_r),
+        (xt_ref, bc_ref, mc_ref, 1, doc_ref, dxt_ref, dbc_ref, dsc_ref, ch_c),
+    ):
+        xn = x_in[0]
+        # Recompute the projection exactly as the forward stored it (f32
+        # accumulate, cast to the activation dtype) so staging matches.
+        qkv_s[...] = (
+            jax.lax.dot_general(
+                wqkvt_ref[...], xn, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            + bqkv_ref[...]
+        ).astype(qkv_s.dtype)
+        qkv_f = qkv_s[...].astype(f32)
+        # Attention + qk-LN backward; the raw-QKV gradient is written IN
+        # PLACE over the (dead) recomputed qkv scratch (bm=True indexing).
+        dsc = _layout_bwd(
+            qkv_f, ln_ref, tbl_ref, mblk_ref, scale_ref, axis_idx,
+            do_ref[0], qkv_s, dln_ref, dtbl_ref, q_s, kv_s, dq_s, dkv_s,
+            heads, d, ch, n, bm=True,
+        )
+        dsc_acc[...] += dsc
+        dqkv = qkv_s[...]
+        # Projection backward: dW^T accumulates across the grid; dx leaves
+        # per chunk.
+        dw_ref[...] += jax.lax.dot_general(
+            dqkv, xn, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )
+        db_ref[...] += jnp.sum(dqkv.astype(f32), axis=1, keepdims=True)
+        dx_out[0] = jax.lax.dot_general(
+            wqkvt_ref[...], dqkv, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(dx_out.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_lane_axial_px(
+    bt: int, n: int, heads: int, d: int, ch_r: int, ch_c: int,
+    blk_r: int, blk_c: int, dtype_name: str, interpret: bool,
+    grid_ch: int | None = None,
+):
+    """v7 factory: dual-layout C-wide inputs, projection in-kernel."""
+    dtype = jnp.dtype(dtype_name)
+    c = heads * d
+    gch = n if grid_ch is None else grid_ch
+    grid = (bt, n // gch)
+
+    x_spec = pl.BlockSpec(
+        (1, c, gch), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, (lambda i, j: (0,) * len(shape)), memory_space=pltpu.VMEM
+    )
+    scale_spec = pl.BlockSpec(
+        (heads, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+    )
+
+    mr = np.kron(
+        np.eye(ch_r // blk_r, dtype=np.float32),
+        np.full((blk_r, blk_r), 1.0 / blk_r, np.float32),
+    )
+    mc = np.kron(
+        np.eye(ch_c // blk_c, dtype=np.float32),
+        np.full((blk_c, blk_c), 1.0 / blk_c, np.float32),
+    )
+
+    kdims = dict(n=gch, heads=heads, d=d, ch_r=ch_r, ch_c=ch_c)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024)
+    in_specs = [
+        scale_spec, x_spec, x_spec, const((3 * c, c)), const((3 * c, 1)),
+        const((d, 4)),
+        const((heads * ch_r, ch_r)), const((heads * ch_c, ch_c)),
+        const((ch_r, ch_r)), const((ch_c, ch_c)),
+    ]
+
+    fwd_call = pl.pallas_call(
+        functools.partial(_fwd_kernel_px, **kdims),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[x_spec, x_spec],
+        out_shape=[jax.ShapeDtypeStruct((bt, c, n), dtype)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((3 * c, gch), dtype),
+            pltpu.VMEM((c, gch), dtype),
+            pltpu.VMEM((2 * c, gch), dtype),
+        ],
+        compiler_params=cparams,
+        interpret=interpret,
+    )
+
+    bwd_call = pl.pallas_call(
+        functools.partial(_bwd_kernel_px, **kdims),
+        grid=grid,
+        in_specs=in_specs + [x_spec, x_spec],
+        out_specs=[
+            x_spec, x_spec, const((3 * c, c)), const((3 * c, 1)),
+            const((d, 4)),
+            const((heads * ch_r, ch_r)), const((heads * ch_c, ch_c)),
+            const((heads, ch_r)), const((heads, ch_c)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bt, c, n), dtype),
+            jax.ShapeDtypeStruct((bt, c, n), dtype),
+            jax.ShapeDtypeStruct((3 * c, c), jnp.float32),
+            jax.ShapeDtypeStruct((3 * c, 1), jnp.float32),
+            jax.ShapeDtypeStruct((d, 4), jnp.float32),
+            jax.ShapeDtypeStruct((heads * ch_r, ch_r), jnp.float32),
+            jax.ShapeDtypeStruct((heads * ch_c, ch_c), jnp.float32),
+            jax.ShapeDtypeStruct((heads, ch_r), jnp.float32),
+            jax.ShapeDtypeStruct((heads, ch_c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3 * c, gch), dtype),
+            pltpu.VMEM((c, gch), dtype),
+            pltpu.VMEM((2 * c, gch), dtype),
+            pltpu.VMEM((c, gch), jnp.float32),
+            pltpu.VMEM((2 * c, gch), jnp.float32),
+        ],
+        compiler_params=cparams,
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def fused(x, xt, wqkvt, bqkv, ln, br, bc, scale):
+        o_row, o_colt = fwd_call(scale, x, xt, wqkvt, bqkv, ln, br, bc, mr, mc)
+        return o_row, o_colt
+
+    def fused_fwd(x, xt, wqkvt, bqkv, ln, br, bc, scale):
+        outs = fwd_call(scale, x, xt, wqkvt, bqkv, ln, br, bc, mr, mc)
+        return outs, (x, xt, wqkvt, bqkv, ln, br, bc, scale)
+
+    def fused_bwd(res, cots):
+        x, xt, wqkvt, bqkv, ln, br, bc, scale = res
+        do_r, do_ct = cots
+        (dx, dxt, dw, db, dln, dbr, dbc, dsr_w, dsc_w) = bwd_call(
+            scale, x, xt, wqkvt, bqkv, ln, br, bc, mr, mc, do_r, do_ct
+        )
+        dscale = jnp.stack(
+            [jnp.sum(dsr_w, axis=1), jnp.sum(dsc_w, axis=1)], axis=1
+        )
+        return dx, dxt, dw, db, dln, dbr, dbc, dscale
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
 @functools.lru_cache(maxsize=None)
 def _make_lane_axial(
     bt: int, n: int, heads: int, d: int, ch_r: int, ch_c: int,
@@ -669,6 +864,7 @@ def lane_axial_attention_from_x(
     heads: int | None = None,
     interpret: bool | None = None,
     lean: bool = False,
+    proj: str | None = None,
 ) -> jax.Array:
     """Lane axial attention from the block input ``x`` (pre-QKV).
 
@@ -732,6 +928,35 @@ def lane_axial_attention_from_x(
     dtype = x.dtype
     wt = wqkv.astype(dtype).T  # (3C, C)
     bcol = bqkv.astype(f32).reshape(3 * c, 1)
+
+    if proj is None:
+        proj = os.environ.get("BUBBLEFORMER_LANE_PROJ", "xla")
+    if proj == "kernel":
+        # v7, MEASURED NEGATIVE at the flagship shape (2026-08-20): the
+        # projection computed INSIDE the kernel (stationary (3C, C) weight
+        # in VMEM) deletes the dual (3C, BT*N) QKV slabs from HBM, but the
+        # depth-12 axial stack measures 64.8 ms vs 60.3 with the XLA
+        # projections (flagship step 112.7 vs 107.5): Mosaic executes the
+        # per-grid-step projection matmuls serially with the attention
+        # compute, losing more than the deleted slab traffic + transposing-
+        # layout penalty was worth.  Kept selectable (BUBBLEFORMER_LANE_PROJ
+        # =kernel) with golden tests; it is also inherently memory-lean
+        # (nothing projection-sized is saveable under the dots policy).
+        x_b = x.reshape(bt, n, c).transpose(0, 2, 1)  # (BT, C, N)
+        x_bt = x.transpose(0, 2, 1, 3).reshape(bt, n, c).transpose(0, 2, 1)
+        br = _build_table(bias_x, heads, w, ch_r)
+        bc = _build_table(bias_y, heads, h, ch_c)
+        fused = _make_lane_axial_px(
+            bt, n, heads, d, ch_r, ch_c, w, h, str(dtype), bool(interpret),
+            grid_ch=gch,
+        )
+        o_row, o_colt = fused(x_b, x_bt, wt, bcol, ln, br, bc, scale)
+        o_r = o_row.transpose(0, 2, 1).reshape(bt, h, w, c)
+        o_c = (
+            o_colt.transpose(0, 2, 1).reshape(bt, w, h, c).transpose(0, 2, 1, 3)
+        )
+        out = (0.5 * (o_r.astype(f32) + o_c.astype(f32))).astype(dtype)
+        return jax.ad_checkpoint.checkpoint_name(out, "flash_attn")
 
     if lean:
         # Same relayout traffic (one C-wide transpose per layout), but kept

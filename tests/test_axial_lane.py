@@ -243,6 +243,106 @@ def test_lane_lean_projection_matches_plain():
     )
 
 
+def test_lane_px_in_kernel_projection_matches_plain():
+    """v7 (projection in-kernel): identical forward and gradients to the
+    plain XLA path, including the QKV weight/bias grads the kernel now
+    accumulates across grid steps itself."""
+    from bubbleformer_tpu.ops.axial_lane import lane_axial_attention_from_x
+
+    rng = np.random.default_rng(41)
+    bt, h, w, c, heads = 2, 8, 16, 32, 4
+    x = jnp.asarray(rng.standard_normal((bt, h, w, c)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((bt, h, w, c)).astype(np.float32))
+    plain = AxialAttentionBlock(embed_dim=c, num_heads=heads, attn_impl="plain")
+    v = plain.init(jax.random.key(0), x)
+
+    blocks = {
+        "plain": AxialAttentionBlock(embed_dim=c, num_heads=heads, attn_impl="plain"),
+        "px": AxialAttentionBlock(embed_dim=c, num_heads=heads, attn_impl="lane"),
+    }
+    import os
+    from unittest import mock
+
+    grads, outs = {}, {}
+    for name, blk in blocks.items():
+        env = {"BUBBLEFORMER_LANE_PROJ": "kernel" if name == "px" else "xla"}
+        with mock.patch.dict(os.environ, env):
+            outs[name] = np.asarray(blk.apply(v, x))
+
+            def loss(params, xx):
+                return jnp.sum(blk.apply(params, xx) * cot)
+
+            grads[name] = jax.grad(loss, argnums=(0, 1))(v, x)
+    np.testing.assert_allclose(outs["px"], outs["plain"], atol=1e-5, rtol=1e-5)
+    ga = jtu.tree_leaves_with_path(grads["plain"][0])
+    gb = jtu.tree_leaves_with_path(grads["px"][0])
+    assert [jtu.keystr(k) for k, _ in ga] == [jtu.keystr(k) for k, _ in gb]
+    for (k, a), (_, b) in zip(ga, gb):
+        s = max(float(jnp.abs(a).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a) / s, np.asarray(b) / s,
+            atol=2e-5, rtol=2e-4, err_msg=jtu.keystr(k),
+        )
+    s = max(float(jnp.abs(grads["plain"][1]).max()), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(grads["plain"][1]) / s,
+        np.asarray(grads["px"][1]) / s,
+        atol=2e-5,
+        rtol=2e-4,
+    )
+
+
+def test_lane_px_chunked_grid_matches_whole_slab():
+    """v7 with a multi-step grid: the cross-grid dW/db/dln/dbias/dscale
+    accumulators must reproduce the whole-slab result exactly."""
+    from bubbleformer_tpu.ops.axial_lane import (
+        _build_table,
+        _make_lane_axial_px,
+        _pick_chunk,
+    )
+
+    rng = np.random.default_rng(43)
+    bt, h, w, heads, d = 2, 8, 16, 2, 8
+    c = heads * d
+    n = h * w
+    x = jnp.asarray(rng.standard_normal((bt, c, n)).astype(np.float32))
+    xt = jnp.asarray(rng.standard_normal((bt, c, n)).astype(np.float32))
+    wt = jnp.asarray(rng.standard_normal((3 * c, c)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((3 * c, 1)).astype(np.float32) * 0.1)
+    ln = jnp.asarray(rng.uniform(0.5, 1.5, (d, 4)).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (heads, 2)).astype(np.float32))
+    bx = jnp.asarray(rng.standard_normal((heads, w, w)).astype(np.float32))
+    by = jnp.asarray(rng.standard_normal((heads, h, h)).astype(np.float32))
+
+    def run(gch):
+        ch_r = _pick_chunk(w, gch)
+        ch_c = _pick_chunk(h, gch)
+        fused = _make_lane_axial_px(
+            bt, n, heads, d, ch_r, ch_c, w, h, "float32", True, grid_ch=gch
+        )
+
+        # Differentiate w.r.t. the RAW (heads, len, len) biases through
+        # _build_table so gradients are comparable across chunk sizes (the
+        # built tables themselves have chunk-dependent shapes).
+        def f(x, xt, wt, b, ln, bx, by, scale):
+            br = _build_table(bx, heads, w, ch_r)
+            bc = _build_table(by, heads, h, ch_c)
+            o1, o2 = fused(x, xt, wt, b, ln, br, bc, scale)
+            return jnp.sum(o1**2) + jnp.sum(o2**2)
+
+        return jax.value_and_grad(f, argnums=tuple(range(8)))(
+            x, xt, wt, b, ln, bx, by, scale
+        )
+
+    v_whole, g_whole = run(n)
+    v_chunk, g_chunk = run(64)  # lcm(8,16)*4 = 64 -> 2 grid steps/image
+    np.testing.assert_allclose(float(v_whole), float(v_chunk), rtol=1e-6)
+    for a, b_ in zip(g_whole, g_chunk):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=3e-5, rtol=1e-5
+        )
+
+
 def test_lean_projection_dot_not_saved_by_dots_policy():
     """The point of the lean boundary: under the "dots" remat policy the
     batched projection dot must be RECOMPUTED (not saved), while the
