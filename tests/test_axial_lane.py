@@ -243,10 +243,13 @@ def test_lane_lean_projection_matches_plain():
     )
 
 
+@pytest.mark.superseded
 def test_lane_px_in_kernel_projection_matches_plain():
     """v7 (projection in-kernel): identical forward and gradients to the
     plain XLA path, including the QKV weight/bias grads the kernel now
-    accumulates across grid steps itself."""
+    accumulates across grid steps itself.  superseded: measured NEGATIVE
+    at the flagship shape (axial stack 64.8 vs 60.3 ms; DESIGN.md r05) —
+    auto-routing never picks it; opt-in via BUBBLEFORMER_LANE_PROJ=kernel."""
     from bubbleformer_tpu.ops.axial_lane import lane_axial_attention_from_x
 
     rng = np.random.default_rng(41)
@@ -292,9 +295,11 @@ def test_lane_px_in_kernel_projection_matches_plain():
     )
 
 
+@pytest.mark.superseded
 def test_lane_px_chunked_grid_matches_whole_slab():
     """v7 with a multi-step grid: the cross-grid dW/db/dln/dbias/dscale
-    accumulators must reproduce the whole-slab result exactly."""
+    accumulators must reproduce the whole-slab result exactly.
+    superseded: see test_lane_px_in_kernel_projection_matches_plain."""
     from bubbleformer_tpu.ops.axial_lane import (
         _build_table,
         _make_lane_axial_px,
