@@ -31,6 +31,11 @@ POINTS = [
     ("film_avit_small_512_b8_scan", ["--batch", "8", "--size", "512", "--scan-blocks", "--per-call-only"]),
     ("film_avit_small_1024_b2_scan", ["--batch", "2", "--size", "1024", "--scan-blocks", "--per-call-only"]),
     ("avit_big_512_b2", ["--batch", "2", "--size", "512", "--model-cfg", "avit_big"]),
+    # Unrolled big at training batch: OOM'd in r2 (6-D qkv tile padding on
+    # the plain path); fits since the lane/core kernels (no 6-D tensors) +
+    # the custom-VJP InstanceNorm (no f32 residual maps).  335.4 ms /
+    # 24.9% MFU in r5 — the scan escape hatch is no longer needed here.
+    ("avit_big_512_b4", ["--batch", "4", "--size", "512", "--model-cfg", "avit_big", "--no-rollout"]),
     ("wide_flowboiling_2048x512_b1", ["--batch", "1", "--height", "512", "--width", "2048"]),
     # Round-2 OOM boundary points under scan_blocks (lax.scan over blocks
     # bounds live activations; per-call timing because the scanned timing
