@@ -25,6 +25,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 POINTS = [
     ("headline_film_avit_small_512_b4", ["--batch", "4", "--size", "512"]),
     ("film_avit_small_512_b2", ["--batch", "2", "--size", "512"]),
+    # Unrolled batch-8 (the reference's training regime, README.md:126):
+    # OOM'd in r2 (~21.5 GB wanted, plain path); fits since r5 (lane/core
+    # kernels have no 6-D qkv, custom-VJP IN keeps no f32 residuals).
+    # Per-call because its scanned-timing program exceeds the relay cap.
+    ("film_avit_small_512_b8", ["--batch", "8", "--size", "512", "--per-call-only", "--no-rollout"]),
     # scan-blocks configs: the scanned-timing program exceeds the
     # remote-compile relay's request-size limit, so these report per-call
     # timing (a conservative upper bound on step time).
